@@ -1,0 +1,138 @@
+"""Model configurations for the TPU-native manga-ocr rebuild.
+
+The reference delegates all model math to the ``manga_ocr`` pip package
+(invoked as a black box at ``/root/reference/src/ui/main_window.py:9801``),
+which wraps a HuggingFace ``VisionEncoderDecoderModel``: a ViT-base image
+encoder and a shallow BERT-style Japanese character-level decoder.  These
+dataclasses describe that architecture natively; every dimension is
+config-driven so the same code runs tiny test models and the full-size one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """ViT encoder (HF ``ViTModel``-compatible math, pre-LN blocks)."""
+
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 3
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-12
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        # +1 for the CLS token prepended by the embedding layer.
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """BERT-style decoder (HF ``BertLMHeadModel``-compatible math, post-LN
+    blocks with cross-attention)."""
+
+    vocab_size: int = 6144
+    hidden_size: int = 768
+    num_layers: int = 2
+    num_heads: int = 8
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 300
+    layer_norm_eps: float = 1e-12
+    # Special token ids (BERT conventions, as used by the manga-ocr vocab).
+    pad_token_id: int = 0
+    unk_token_id: int = 1
+    bos_token_id: int = 2  # [CLS] — decoder_start_token_id
+    eos_token_id: int = 3  # [SEP]
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class MangaOCRConfig:
+    encoder: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    # Maximum generated sequence length (reference model: 300).
+    max_length: int = 300
+
+    @staticmethod
+    def base() -> "MangaOCRConfig":
+        """The full-size manga-ocr architecture (ViT-base encoder + 2-layer
+        char-level decoder)."""
+        return MangaOCRConfig()
+
+    @staticmethod
+    def tiny(vocab_size: int = 100) -> "MangaOCRConfig":
+        """A miniature config for fast unit tests."""
+        return MangaOCRConfig(
+            encoder=EncoderConfig(
+                image_size=32,
+                patch_size=16,
+                hidden_size=64,
+                num_layers=2,
+                num_heads=4,
+                intermediate_size=128,
+            ),
+            decoder=DecoderConfig(
+                vocab_size=vocab_size,
+                hidden_size=64,
+                num_layers=2,
+                num_heads=4,
+                intermediate_size=128,
+                max_position_embeddings=32,
+            ),
+            max_length=16,
+        )
+
+    @staticmethod
+    def from_hf_config(cfg: dict) -> "MangaOCRConfig":
+        """Build from a HuggingFace ``VisionEncoderDecoderConfig`` JSON dict
+        (the ``config.json`` sitting next to a checkpoint)."""
+        enc = cfg["encoder"]
+        dec = cfg["decoder"]
+        encoder = EncoderConfig(
+            image_size=enc.get("image_size", 224),
+            patch_size=enc.get("patch_size", 16),
+            num_channels=enc.get("num_channels", 3),
+            hidden_size=enc.get("hidden_size", 768),
+            num_layers=enc.get("num_hidden_layers", 12),
+            num_heads=enc.get("num_attention_heads", 12),
+            intermediate_size=enc.get("intermediate_size", 3072),
+            layer_norm_eps=enc.get("layer_norm_eps", 1e-12),
+        )
+        decoder = DecoderConfig(
+            vocab_size=dec["vocab_size"],
+            hidden_size=dec.get("hidden_size", 768),
+            num_layers=dec.get("num_hidden_layers", 2),
+            num_heads=dec.get("num_attention_heads", 12),
+            intermediate_size=dec.get("intermediate_size", 3072),
+            max_position_embeddings=dec.get("max_position_embeddings", 512),
+            layer_norm_eps=dec.get("layer_norm_eps", 1e-12),
+            pad_token_id=dec.get("pad_token_id", 0) or 0,
+            bos_token_id=cfg.get("decoder_start_token_id", 2) or 2,
+            eos_token_id=dec.get("eos_token_id", 3) or 3,
+        )
+        max_length = dec.get("max_length", 300) or 300
+        return MangaOCRConfig(encoder=encoder, decoder=decoder, max_length=max_length)
+
+    @staticmethod
+    def from_json_file(path: str) -> "MangaOCRConfig":
+        with open(path) as f:
+            return MangaOCRConfig.from_hf_config(json.load(f))

@@ -1,0 +1,232 @@
+"""BERT-style autoregressive text decoder with cross-attention + KV cache.
+
+Numerically equivalent to the HF ``BertLMHeadModel`` decoder inside the
+reference's black-box manga-ocr engine (``/root/reference/src/ui/
+main_window.py:9801``), re-designed TPU-first:
+
+- parameter-stacked layers driven by ``lax.scan`` (the KV caches are stacked
+  on the same leading layer axis and scanned alongside the weights),
+- a *preallocated, static-shape* KV cache ``[L, B, H, max_len, dh]`` updated
+  in place via ``dynamic_update_slice`` — no dynamic shapes anywhere, so the
+  whole greedy loop compiles to a single XLA while-loop,
+- cross-attention K/V are projected from the encoder output **once** before
+  the decode loop and reused by every step (the dominant per-step matmul
+  saving for a 2-layer decoder),
+- layer norm / softmax in float32; matmuls in compute dtype with f32
+  accumulation.
+
+Post-LN blocks (BERT): x = LN(x + SelfAttn(x)); x = LN(x + CrossAttn(x));
+x = LN(x + MLP(x)).  LM head: dense+gelu+LN transform, then vocab projection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.models.config import DecoderConfig
+from manga_ocr_tpu.ops.common import (
+    NEG_INF,
+    attention_scores,
+    dense,
+    gelu,
+    layer_norm,
+    merge_heads,
+    mha,
+    split_heads,
+)
+
+
+class KVCache(NamedTuple):
+    """Static-shape self-attention cache, stacked over layers."""
+
+    k: jax.Array  # [L, B, H, max_len, dh]
+    v: jax.Array  # [L, B, H, max_len, dh]
+
+
+class CrossKV(NamedTuple):
+    """Per-layer cross-attention K/V projected from encoder output."""
+
+    k: jax.Array  # [L, B, H, S_enc, dh]
+    v: jax.Array  # [L, B, H, S_enc, dh]
+
+
+def init_cache(
+    cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> KVCache:
+    shape = (cfg.num_layers, batch, cfg.num_heads, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def embed(
+    params: dict, tokens: jax.Array, position_offset, cfg: DecoderConfig
+) -> jax.Array:
+    """BERT embeddings: word + absolute position + token-type(0), then LN.
+
+    ``tokens``: [B, S] int32; ``position_offset``: scalar (0 for full-sequence
+    forward, current step for incremental decode).
+    """
+    s = tokens.shape[-1]
+    we = params["tok_embed"][tokens]
+    positions = position_offset + jnp.arange(s)
+    pe = params["pos_embed"][positions]
+    x = we + pe + params["tok_type"]
+    return layer_norm(
+        x, params["emb_ln"]["scale"], params["emb_ln"]["bias"], cfg.layer_norm_eps
+    )
+
+
+def precompute_cross_kv(params: dict, enc_out: jax.Array, cfg: DecoderConfig) -> CrossKV:
+    """Project encoder hidden states to per-layer cross-attention K/V once."""
+
+    def per_layer(lp):
+        k = split_heads(dense(enc_out, lp["k"]["kernel"], lp["k"]["bias"]), cfg.num_heads)
+        v = split_heads(dense(enc_out, lp["v"]["kernel"], lp["v"]["bias"]), cfg.num_heads)
+        return k, v
+
+    k, v = jax.vmap(per_layer)(params["layers"]["cross_attn"])
+    return CrossKV(k, v)
+
+
+def _post_ln_block(x, residual, ln, eps):
+    return layer_norm(x + residual, ln["scale"], ln["bias"], eps)
+
+
+def forward_full(
+    params: dict,
+    tokens: jax.Array,
+    enc_out: jax.Array,
+    cfg: DecoderConfig,
+    attention_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Teacher-forcing forward over a full sequence -> logits [B, S, V].
+
+    Causal self-attention; full cross-attention over encoder states.  Used by
+    parity tests and (later) training; the serving path is the incremental
+    decode below.
+    """
+    b, s = tokens.shape
+    x = embed(params, tokens, 0, cfg).astype(enc_out.dtype)
+    causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+    if attention_mask is not None:
+        causal = jnp.logical_and(causal, attention_mask[:, None, None, :])
+
+    def body(carry, lp):
+        x = carry
+        sa = mha(x, x, lp["self_attn"], cfg.num_heads, mask=causal)
+        x = _post_ln_block(sa, x, lp["self_ln"], cfg.layer_norm_eps)
+        ca = mha(x, enc_out, lp["cross_attn"], cfg.num_heads)
+        x = _post_ln_block(ca, x, lp["cross_ln"], cfg.layer_norm_eps)
+        h = gelu(dense(x, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"]))
+        h = dense(h, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+        x = _post_ln_block(h, x, lp["mlp_ln"], cfg.layer_norm_eps)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return lm_head(params, x, cfg)
+
+
+def lm_head(params: dict, x: jax.Array, cfg: DecoderConfig) -> jax.Array:
+    """Prediction head: dense + gelu + LN transform, then vocab projection.
+    Returns float32 logits."""
+    t = params["head"]["transform"]
+    x = gelu(dense(x, t["dense"]["kernel"], t["dense"]["bias"]))
+    x = layer_norm(x, t["ln"]["scale"], t["ln"]["bias"], cfg.layer_norm_eps)
+    p = params["head"]["proj"]
+    logits = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
+    return logits + p["bias"].astype(jnp.float32)
+
+
+def decode_step(
+    params: dict,
+    token: jax.Array,  # [B] int32 — the most recent token
+    step: jax.Array,  # scalar int32 — its position in the sequence
+    cache: KVCache,
+    cross_kv: CrossKV,
+    cfg: DecoderConfig,
+) -> tuple[jax.Array, KVCache]:
+    """One incremental decode step -> (logits [B, V] f32, updated cache)."""
+    x = embed(params, token[:, None], step, cfg).astype(cache.k.dtype)  # [B,1,D]
+    max_len = cache.k.shape[-2]
+    # Keys at positions 0..step are valid this step.
+    valid = (jnp.arange(max_len) <= step)[None, None, None, :]
+
+    def body(carry, scanned):
+        x = carry
+        lp, ck, cv, xk, xv = scanned
+        # -- causal self-attention against the running cache --------------
+        sa = lp["self_attn"]
+        q = split_heads(dense(x, sa["q"]["kernel"], sa["q"]["bias"]), cfg.num_heads)
+        k_new = split_heads(dense(x, sa["k"]["kernel"], sa["k"]["bias"]), cfg.num_heads)
+        v_new = split_heads(dense(x, sa["v"]["kernel"], sa["v"]["bias"]), cfg.num_heads)
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, step, axis=-2)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, step, axis=-2)
+        ctx = attention_scores(q, ck, cv, mask=valid)
+        out = dense(merge_heads(ctx), sa["o"]["kernel"], sa["o"]["bias"])
+        x = _post_ln_block(out, x, lp["self_ln"], cfg.layer_norm_eps)
+        # -- cross-attention over precomputed encoder K/V ------------------
+        ca = lp["cross_attn"]
+        q = split_heads(dense(x, ca["q"]["kernel"], ca["q"]["bias"]), cfg.num_heads)
+        ctx = attention_scores(q, xk, xv)
+        out = dense(merge_heads(ctx), ca["o"]["kernel"], ca["o"]["bias"])
+        x = _post_ln_block(out, x, lp["cross_ln"], cfg.layer_norm_eps)
+        # -- MLP ------------------------------------------------------------
+        h = gelu(dense(x, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"]))
+        h = dense(h, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+        x = _post_ln_block(h, x, lp["mlp_ln"], cfg.layer_norm_eps)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v, cross_kv.k, cross_kv.v)
+    )
+    logits = lm_head(params, x[:, 0, :], cfg)
+    return logits, KVCache(new_k, new_v)
+
+
+def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random init (HF-like scales) for tests / benchmarks."""
+    ks = jax.random.split(key, 16)
+    d, i, l, v = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers, cfg.vocab_size
+
+    def w(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    def ln(stacked=True):
+        shape = (l, d) if stacked else (d,)
+        return {"scale": jnp.ones(shape, dtype), "bias": jnp.zeros(shape, dtype)}
+
+    def proj(key, din, dout):
+        return {"kernel": w(key, (l, din, dout)), "bias": jnp.zeros((l, dout), dtype)}
+
+    def attn(key):
+        kk = jax.random.split(key, 4)
+        return {
+            "q": proj(kk[0], d, d),
+            "k": proj(kk[1], d, d),
+            "v": proj(kk[2], d, d),
+            "o": proj(kk[3], d, d),
+        }
+
+    return {
+        "tok_embed": w(ks[0], (v, d)),
+        "pos_embed": w(ks[1], (cfg.max_position_embeddings, d)),
+        "tok_type": w(ks[2], (d,)),
+        "emb_ln": ln(stacked=False),
+        "layers": {
+            "self_attn": attn(ks[3]),
+            "self_ln": ln(),
+            "cross_attn": attn(ks[4]),
+            "cross_ln": ln(),
+            "mlp": {"fc1": proj(ks[5], d, i), "fc2": proj(ks[6], i, d)},
+            "mlp_ln": ln(),
+        },
+        "head": {
+            "transform": {
+                "dense": {"kernel": w(ks[7], (d, d)), "bias": jnp.zeros((d,), dtype)},
+                "ln": ln(stacked=False),
+            },
+            "proj": {"kernel": w(ks[8], (d, v)), "bias": jnp.zeros((v,), dtype)},
+        },
+    }

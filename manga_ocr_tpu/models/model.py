@@ -1,0 +1,129 @@
+"""The full manga-ocr model: ViT encoder + BERT decoder + greedy decode.
+
+This is the TPU-native replacement for the reference's single-crop
+``self.manga_ocr_reader(pil_img)`` call (``/root/reference/src/ui/
+main_window.py:9801``), generalized to *batched* operation: the whole
+decode — encoder forward, cross-K/V precompute, and the token-by-token
+greedy loop with done-masking — is one jittable function with static
+shapes, so every bubble crop of a page decodes in a single TPU dispatch.
+
+Early exit: the ``lax.while_loop`` condition is ``any(~done) & (step <
+max_len)``, so a batch of short texts stops as soon as every row has
+emitted EOS instead of always paying for ``max_length`` steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.models import decoder as dec
+from manga_ocr_tpu.models import vit
+from manga_ocr_tpu.models.config import MangaOCRConfig
+
+
+class GreedyResult(NamedTuple):
+    tokens: jax.Array  # [B, max_len] int32, starts with BOS, PAD after EOS
+    lengths: jax.Array  # [B] int32 — number of valid tokens incl. BOS and EOS
+
+
+class _LoopState(NamedTuple):
+    step: jax.Array  # scalar int32, position of the token generated last
+    tokens: jax.Array  # [B, max_len]
+    last: jax.Array  # [B] most recent token ids
+    done: jax.Array  # [B] bool
+    lengths: jax.Array  # [B] int32
+    cache: dec.KVCache
+
+
+def encode(params: dict, pixel_values: jax.Array, cfg: MangaOCRConfig) -> jax.Array:
+    return vit.encode(params["encoder"], pixel_values, cfg.encoder)
+
+
+def greedy_decode(
+    params: dict,
+    enc_out: jax.Array,
+    cfg: MangaOCRConfig,
+    max_length: int | None = None,
+) -> GreedyResult:
+    """Greedy autoregressive decode for a batch of encoder outputs."""
+    dcfg = cfg.decoder
+    max_len = max_length or cfg.max_length
+    b = enc_out.shape[0]
+    dtype = enc_out.dtype
+
+    cross_kv = dec.precompute_cross_kv(params["decoder"], enc_out, dcfg)
+    cache = dec.init_cache(dcfg, b, max_len, dtype)
+    tokens = jnp.full((b, max_len), dcfg.pad_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(dcfg.bos_token_id)
+
+    init = _LoopState(
+        step=jnp.int32(0),
+        tokens=tokens,
+        last=jnp.full((b,), dcfg.bos_token_id, jnp.int32),
+        done=jnp.zeros((b,), bool),
+        lengths=jnp.ones((b,), jnp.int32),
+        cache=cache,
+    )
+
+    def cond(s: _LoopState):
+        return jnp.logical_and(s.step < max_len - 1, jnp.logical_not(jnp.all(s.done)))
+
+    def body(s: _LoopState):
+        logits, cache = dec.decode_step(
+            params["decoder"], s.last, s.step, s.cache, cross_kv, dcfg
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(s.done, dcfg.pad_token_id, nxt)
+        newly_done = nxt == dcfg.eos_token_id
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            s.tokens, nxt[:, None], s.step + 1, axis=1
+        )
+        lengths = s.lengths + jnp.where(s.done, 0, 1)
+        return _LoopState(
+            step=s.step + 1,
+            tokens=tokens,
+            last=nxt,
+            done=jnp.logical_or(s.done, newly_done),
+            lengths=lengths,
+            cache=cache,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return GreedyResult(final.tokens, final.lengths)
+
+
+def ocr_forward(
+    params: dict,
+    pixel_values: jax.Array,
+    cfg: MangaOCRConfig,
+    max_length: int | None = None,
+) -> GreedyResult:
+    """pixels [B, H, W, C] (normalized) -> greedy token ids.  Jittable."""
+    enc_out = encode(params, pixel_values, cfg)
+    return greedy_decode(params, enc_out, cfg, max_length)
+
+
+def make_jitted_ocr(cfg: MangaOCRConfig, max_length: int | None = None, donate=False):
+    """Build the jitted batched OCR function (compile once per batch shape)."""
+    fn = functools.partial(ocr_forward, cfg=cfg, max_length=max_length)
+    return jax.jit(fn, donate_argnums=(1,) if donate else ())
+
+
+def init_params(cfg: MangaOCRConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    ke, kd = jax.random.split(key)
+    return {
+        "encoder": vit.init_params(cfg.encoder, ke, dtype),
+        "decoder": dec.init_params(cfg.decoder, kd, dtype),
+    }
+
+
+def cast_params(params: dict, dtype) -> dict:
+    """Cast all floating-point leaves (e.g. to bf16 for TPU serving)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )

@@ -1,0 +1,111 @@
+"""ViT image encoder (TPU-native, pure-functional JAX).
+
+Numerically equivalent to the HF ``ViTModel`` the reference's black-box
+``manga_ocr`` engine wraps (invoked at
+``/root/reference/src/ui/main_window.py:9801``), but designed TPU-first:
+
+- the patch embedding is a reshape + one big matmul (stride == kernel, so the
+  conv *is* a matmul — pure MXU work, no im2col),
+- the 12 transformer blocks are parameter-stacked and driven by ``lax.scan``
+  (one compiled block body instead of 12 unrolled ones),
+- layer norm / softmax statistics run in float32 while matmuls run in the
+  compute dtype (bf16 on TPU) with f32 accumulation.
+
+Pre-LN blocks: x += MHA(LN(x)); x += MLP(LN(x)); final LN at the top.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.models.config import EncoderConfig
+from manga_ocr_tpu.ops.common import dense, gelu, layer_norm, mha
+
+
+def patch_embed(params: dict, pixel_values: jax.Array, cfg: EncoderConfig) -> jax.Array:
+    """[B, H, W, C] -> [B, N, D] via reshape + matmul (MXU-only patch conv)."""
+    b, h, w, c = pixel_values.shape
+    p = cfg.patch_size
+    gh, gw = h // p, w // p
+    x = pixel_values.reshape(b, gh, p, gw, p, c)
+    # -> [B, gh, gw, p, p, c]: flatten per-patch pixels in (row, col, chan)
+    # order to match an HWIO conv kernel flattened the same way.
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    kernel = params["kernel"].reshape(p * p * c, cfg.hidden_size)
+    return dense(x, kernel, params["bias"])
+
+
+def encoder_block(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
+    """One pre-LN ViT block."""
+    h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
+    x = x + mha(h, h, lp["attn"], cfg.num_heads)
+    h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
+    h = dense(h, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"])
+    h = gelu(h)
+    h = dense(h, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+    return x + h
+
+
+def encode(
+    params: dict,
+    pixel_values: jax.Array,
+    cfg: EncoderConfig,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Full encoder forward: [B, H, W, C] normalized pixels -> [B, S, D]
+    hidden states (S = num_patches + 1 CLS token)."""
+    x = patch_embed(params["patch_embed"], pixel_values.astype(dtype), cfg)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(dtype), (b, 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+
+    def body(carry, lp):
+        return encoder_block(carry, lp, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(
+        x, params["final_ln"]["scale"], params["final_ln"]["bias"], cfg.layer_norm_eps
+    )
+
+
+def init_params(cfg: EncoderConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random init with HF-like scales (for tests / benchmarks without a
+    checkpoint)."""
+    ks = jax.random.split(key, 8)
+    d, i, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    p = cfg.patch_size
+
+    def w(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    def ln(_):
+        return {"scale": jnp.ones((l, d), dtype), "bias": jnp.zeros((l, d), dtype)}
+
+    def proj(key, din, dout):
+        return {"kernel": w(key, (l, din, dout)), "bias": jnp.zeros((l, dout), dtype)}
+
+    kk = jax.random.split(ks[4], 6)
+    return {
+        "patch_embed": {
+            "kernel": w(ks[0], (p, p, cfg.num_channels, d)),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "cls_token": w(ks[1], (1, 1, d)),
+        "pos_embed": w(ks[2], (1, cfg.seq_len, d)),
+        "layers": {
+            "ln1": ln(None),
+            "attn": {
+                "q": proj(kk[0], d, d),
+                "k": proj(kk[1], d, d),
+                "v": proj(kk[2], d, d),
+                "o": proj(kk[3], d, d),
+            },
+            "ln2": ln(None),
+            "mlp": {"fc1": proj(kk[4], d, i), "fc2": proj(kk[5], i, d)},
+        },
+        "final_ln": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+    }
