@@ -1,0 +1,79 @@
+"""Benchmark: bubble-crop OCR decodes/sec/chip on the full-size model.
+
+Measures the end-to-end batched OCR path (ViT-base encode + KV-cache greedy
+decode) on the real TPU chip, bf16, with a decode budget of 32 tokens —
+representative of manga bubble text (reference decodes are char-level,
+typically 5–30 chars).  With random weights no EOS fires, so every row pays
+the full 32 steps: this is a *worst-case* throughput (done-masked early exit
+only helps real checkpoints).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 5000 — the driver-set north-star target of ≥5,000
+crops/sec/chip (BASELINE.json); the reference itself publishes no numbers
+(BASELINE.md) and its per-crop CPU path is orders of magnitude slower.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+MAX_NEW_TOKENS = 32
+BATCH_SIZES = (128, 256)
+NORTH_STAR = 5000.0
+
+
+def bench_batch(fn, params, batch: int, iters: int = 6) -> float:
+    """Steady-state pipelined throughput.
+
+    Inputs are generated on-device (serving transfers uint8 pages once; the
+    model path is what's measured).  NOTE: ``block_until_ready`` does not
+    reliably block through the axon tunnel — only a host readback does — so
+    completion is forced by fetching ``lengths`` ([B] ints) per call.
+    """
+    import numpy as np
+
+    px = jax.jit(
+        lambda k: jax.random.normal(k, (batch, 224, 224, 3), jnp.bfloat16)
+    )(jax.random.PRNGKey(1))
+    _ = np.asarray(fn(params, px).lengths)  # compile + warm
+    t0 = time.perf_counter()
+    outs = [fn(params, px) for _ in range(iters)]
+    for o in outs:
+        np.asarray(o.lengths)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def main() -> None:
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+
+    cfg = MangaOCRConfig.base()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    fn = mdl.make_jitted_ocr(cfg, max_length=MAX_NEW_TOKENS)
+
+    best = 0.0
+    for b in BATCH_SIZES:
+        try:
+            rate = bench_batch(fn, params, b)
+        except Exception:
+            break
+        best = max(best, rate)
+    print(
+        json.dumps(
+            {
+                "metric": "bubble_crop_ocr_decodes_per_sec_per_chip",
+                "value": round(best, 1),
+                "unit": "crops/s",
+                "vs_baseline": round(best / NORTH_STAR, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
