@@ -1,0 +1,172 @@
+"""The TPU OCR engine: batched page-level OCR behind the reference contracts.
+
+The reference's engine layer is a per-crop dispatch on ``settings['ocr_engine']``
+returning raw text or ``"[ERROR: ...]"`` sentinel strings
+(``perform_ocr``, ``/root/reference/src/ui/main_window.py:9774-9931``), with
+Manga-OCR fed raw orientation-rotated crops (``workers.py:318-327``).  This
+module keeps those contracts exactly and adds the batched entry the TPU
+design is built around:
+
+- ``ocr_page(crops) -> [str]`` — every crop of a page preprocessed, encoded
+  and greedily decoded in ONE TPU dispatch per shape bucket.  uint8 crops go
+  to the device; only int32 token ids come back.
+- ``perform_ocr(cv_bgr_image, settings) -> str`` — the reference-compatible
+  single-crop call (a batch of one, or coalesced by the microbatcher).
+
+The whole per-bucket pipeline (normalize → resize → encode → decode) is a
+single jitted function, compiled once per (bucket, batch) shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manga_ocr_tpu.models import model as mdl
+from manga_ocr_tpu.models.config import MangaOCRConfig
+from manga_ocr_tpu.models.tokenizer import CharTokenizer
+from manga_ocr_tpu.ops import preprocess as pp
+from manga_ocr_tpu.parallel import batching
+
+# Sentinel error strings (reference contract: checked with str.startswith)
+ERR_NOT_INITIALIZED = "[ERROR: Manga-OCR not installed or initialized]"
+
+
+def _err(msg: str) -> str:
+    return f"[ERROR: {msg}]"
+
+
+class TpuMangaOcrEngine:
+    """Batched manga-ocr engine on TPU.
+
+    Parameters
+    ----------
+    params / cfg : converted checkpoint (``models.convert.load_hf_checkpoint``)
+        or random-init for tests.
+    tokenizer : vocabulary for decoding.
+    max_length : decode budget (reference model: 300).
+    dtype : compute dtype (bf16 on TPU).
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: MangaOCRConfig,
+        tokenizer: CharTokenizer,
+        max_length: int | None = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_length = max_length or cfg.max_length
+        self.dtype = dtype
+        self.params = mdl.cast_params(params, dtype)
+        self._fns: dict = {}
+        self._lock = threading.Lock()
+
+    # -- jitted pipeline ----------------------------------------------------
+
+    def _bucket_fn(self, bucket_hw: tuple[int, int], orientation: int):
+        """One fused program: uint8 crops -> token ids (+lengths)."""
+        key = (bucket_hw, orientation)
+        fn = self._fns.get(key)
+        if fn is None:
+            cfg, max_len, dtype = self.cfg, self.max_length, self.dtype
+
+            @jax.jit
+            def run(params, crops_u8):
+                pixels = pp.model_preprocess(
+                    crops_u8,
+                    orientation=orientation,
+                    image_size=cfg.encoder.image_size,
+                ).astype(dtype)
+                return mdl.ocr_forward(params, pixels, cfg, max_length=max_len)
+
+            with self._lock:
+                fn = self._fns.setdefault(key, run)
+        return fn
+
+    # -- batched entry points ------------------------------------------------
+
+    def ocr_page(
+        self,
+        crops: Sequence[np.ndarray],
+        orientation: int = pp.ORIENT_VERTICAL,
+    ) -> list[str]:
+        """OCR every crop of a page: bucket, pad, dispatch once per bucket.
+
+        ``orientation`` follows the reference's manga-ocr rule (default
+        Vertical for Japanese: rotate 90° CW when wider than tall)."""
+        if not len(crops):
+            return []
+        batches = batching.bucket_crops([np.asarray(c, np.uint8) for c in crops])
+        results_per_batch = []
+        outs = []
+        for b in batches:
+            fn = self._bucket_fn(b.bucket_hw, orientation)
+            outs.append((b, fn(self.params, jnp.asarray(b.crops))))
+        for b, out in outs:
+            tokens = np.asarray(out.tokens[: b.valid])
+            lengths = np.asarray(out.lengths[: b.valid])
+            results_per_batch.append(self.tokenizer.decode_batch(tokens, lengths))
+        return batching.scatter_results([b for b, _ in outs], results_per_batch)
+
+    def ocr_page_dual(
+        self, crops: Sequence[np.ndarray], orientation: int = pp.ORIENT_VERTICAL
+    ) -> list[tuple[str, str]]:
+        """Enhanced dual-pass (SURVEY §2.4 #29): raw + Otsu-preprocessed
+        variants of every crop decoded in the same padded dispatch; returns
+        (raw_text, preprocessed_text) per crop."""
+        if not len(crops):
+            return []
+        crops = [np.asarray(c, np.uint8) for c in crops]
+        pre = [
+            np.asarray(
+                pp.ocr_preprocess(jnp.asarray(c)[None], orientation=pp.ORIENT_AUTO)[0][0]
+            )
+            for c in crops
+        ]
+        both = self.ocr_page(list(crops) + pre, orientation)
+        n = len(crops)
+        return list(zip(both[:n], both[n:]))
+
+    # -- reference-compatible single-crop entry -------------------------------
+
+    def perform_ocr(self, cv_bgr_image: np.ndarray, settings: dict | None = None) -> str:
+        """Single-crop OCR keeping the reference's contract: BGR uint8 in,
+        text or ``"[ERROR: ...]"`` out; orientation from settings."""
+        try:
+            if cv_bgr_image is None or cv_bgr_image.size == 0:
+                return _err("empty image")
+            if cv_bgr_image.ndim == 2:
+                cv_bgr_image = np.repeat(cv_bgr_image[..., None], 3, axis=-1)
+            orientation = _orientation_from_settings(settings)
+            return self.ocr_page([cv_bgr_image], orientation)[0]
+        except Exception as e:  # contract: errors become sentinel strings
+            return _err(f"{type(e).__name__}: {e}")
+
+    def warmup(self, bucket_hws: Sequence[tuple[int, int]] | None = None) -> None:
+        """Pre-compile the common bucket shapes (compile-once discipline)."""
+        for hw in bucket_hws or ((256, 256),):
+            n = batching.BATCH_SCHEDULE[0]
+            dummy = jnp.zeros((n, hw[0], hw[1], 3), jnp.uint8)
+            fn = self._bucket_fn(hw, pp.ORIENT_VERTICAL)
+            jax.block_until_ready(fn(self.params, dummy).tokens)
+
+
+def _orientation_from_settings(settings: dict | None) -> int:
+    """Map the reference's orientation setting strings to preprocess modes."""
+    if not settings:
+        return pp.ORIENT_VERTICAL
+    val = str(settings.get("orientation", "Vertical"))
+    return {
+        "Vertical": pp.ORIENT_VERTICAL,
+        "Horizontal": pp.ORIENT_HORIZONTAL,
+        "Auto-Detect": pp.ORIENT_AUTO,
+        "None": pp.ORIENT_NONE,
+    }.get(val, pp.ORIENT_VERTICAL)

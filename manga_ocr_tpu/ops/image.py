@@ -1,0 +1,286 @@
+"""Batched TPU image ops for the OCR preprocessing graph.
+
+The reference preprocesses each crop on the host with OpenCV, one crop at a
+time (``preprocess_for_ocr``, ``/root/reference/src/ui/main_window.py:4204``:
+gray → orientation detect → rotate → equalizeHist → GaussianBlur(3,3) → Otsu
+→ BGR), and separately prepares manga-ocr inputs as raw crops with
+orientation-only 90° rotation (``/root/reference/src/core/workers.py:318``)
+followed by the pip package's grayscale→RGB→resize(224)→normalize(.5/.5).
+
+Here every op is a batched, statically-shaped JAX function so the whole
+preprocessing stage compiles into ONE XLA graph feeding the encoder (no host
+round-trips).  Numerics match OpenCV/PIL within test tolerances:
+
+- grayscale uses the ITU-R 601 fixed-point coefficients (cv2-compatible),
+- equalizeHist reproduces cv2's cdf-min LUT construction,
+- GaussianBlur(3,3,σ=0) uses cv2's fixed small-kernel [1,2,1]/4 with
+  REFLECT_101 borders,
+- Otsu maximizes between-class variance over a 256-bin histogram (first
+  maximum, like cv2's scan),
+- rotation is inverse-mapped bilinear/bicubic sampling with BORDER_REPLICATE,
+- orientation detection is reformulated as image-moment PCA (the reference's
+  ``cv2.minAreaRect`` is a host-only, data-dependent-shape op; the moment
+  angle feeds the same normalization rules — divergence is possible on
+  degenerate point sets and is covered by tests on synthetic text layouts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Color
+# ---------------------------------------------------------------------------
+
+
+def bgr_to_gray_u8(img: jax.Array) -> jax.Array:
+    """[..., H, W, 3] uint8 BGR -> [..., H, W] uint8, cv2 fixed-point math."""
+    b = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    r = img[..., 2].astype(jnp.int32)
+    y = (r * 4899 + g * 9617 + b * 1868 + 8192) >> 14
+    return y.astype(jnp.uint8)
+
+
+def rgb_to_gray_u8(img: jax.Array) -> jax.Array:
+    return bgr_to_gray_u8(img[..., ::-1])
+
+
+def gray_to_bgr(gray: jax.Array) -> jax.Array:
+    return jnp.repeat(gray[..., None], 3, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Histograms
+# ---------------------------------------------------------------------------
+
+
+def _hist256(gray_u8: jax.Array) -> jax.Array:
+    """Per-image 256-bin histogram. gray: [B, H, W] uint8 -> [B, 256] int32."""
+
+    def one(img):
+        return jnp.zeros((256,), jnp.int32).at[img.ravel().astype(jnp.int32)].add(1)
+
+    return jax.vmap(one)(gray_u8)
+
+
+def equalize_hist_u8(gray: jax.Array) -> jax.Array:
+    """cv2.equalizeHist for a batch [B, H, W] uint8.
+
+    LUT: find the first occupied bin i0; scale = 255/(N - hist[i0]);
+    lut[i] = round(cumsum(hist[i0+1..i]) * scale), lut[<=i0] = 0.
+    Degenerate single-bin images pass through unchanged (cv2 behavior).
+    """
+    b, h, w = gray.shape
+    n = h * w
+    hist = _hist256(gray)  # [B, 256]
+    cdf = jnp.cumsum(hist, axis=1)
+    # first nonzero bin and its count
+    i0 = jnp.argmax(hist > 0, axis=1)  # [B]
+    h0 = jnp.take_along_axis(hist, i0[:, None], axis=1)[:, 0]
+    denom = (n - h0).astype(jnp.float32)
+    scale = 255.0 / jnp.maximum(denom, 1.0)
+    shifted = (cdf - h0[:, None]).astype(jnp.float32)  # cumsum excluding bin i0
+    lut = jnp.clip(jnp.round(shifted * scale[:, None]), 0, 255).astype(jnp.uint8)
+    degenerate = denom <= 0  # all pixels in one bin
+    out = jax.vmap(lambda l, im: l[im.astype(jnp.int32)])(lut, gray)
+    return jnp.where(degenerate[:, None, None], gray, out)
+
+
+def otsu_threshold(gray: jax.Array) -> jax.Array:
+    """Otsu threshold per image. [B, H, W] uint8 -> [B] float32 thresholds.
+
+    Maximizes between-class variance; ties resolve to the first maximum
+    (matching cv2's ascending scan with strict > update)."""
+    hist = _hist256(gray).astype(jnp.float32)  # [B, 256]
+    n = jnp.sum(hist, axis=1, keepdims=True)
+    p = hist / n
+    bins = jnp.arange(256, dtype=jnp.float32)
+    omega = jnp.cumsum(p, axis=1)  # P(class0) for t = bin
+    mu = jnp.cumsum(p * bins, axis=1)
+    mu_t = mu[:, -1:]
+    denom = omega * (1.0 - omega)
+    num = (mu_t * omega - mu) ** 2
+    sigma_b = jnp.where(denom > 1e-12, num / jnp.maximum(denom, 1e-12), 0.0)
+    return jnp.argmax(sigma_b, axis=1).astype(jnp.float32)
+
+
+def threshold_binary(gray: jax.Array, thresh: jax.Array) -> jax.Array:
+    """cv2 THRESH_BINARY: > thresh -> 255 else 0. thresh: [B]."""
+    return jnp.where(
+        gray.astype(jnp.float32) > thresh[:, None, None], jnp.uint8(255), jnp.uint8(0)
+    )
+
+
+def otsu_binarize(gray: jax.Array) -> jax.Array:
+    return threshold_binary(gray, otsu_threshold(gray))
+
+
+# ---------------------------------------------------------------------------
+# Filtering
+# ---------------------------------------------------------------------------
+
+
+def gaussian_blur3_u8(gray: jax.Array) -> jax.Array:
+    """cv2.GaussianBlur(ksize=(3,3), sigma=0) on uint8 [B, H, W].
+
+    cv2 uses the fixed small kernel [1,2,1]/4 separably with REFLECT_101
+    borders and round-half-away rounding on the uint8 path."""
+    x = gray.astype(jnp.float32)
+    # REFLECT_101 pad: edge-adjacent pixel mirrored (a b c -> b | a b c | b)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="reflect")
+    x = (xp[:, :-2, :] + 2.0 * xp[:, 1:-1, :] + xp[:, 2:, :]) * 0.25
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="reflect")
+    x = (xp[:, :, :-2] + 2.0 * xp[:, :, 1:-1] + xp[:, :, 2:]) * 0.25
+    return jnp.clip(jnp.floor(x + 0.5), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+
+def rot90_cw(img: jax.Array) -> jax.Array:
+    """cv2.ROTATE_90_CLOCKWISE on [..., H, W] or [..., H, W, C]."""
+    hw = (-3, -2) if img.ndim >= 3 and img.shape[-1] <= 4 else (-2, -1)
+    return jnp.flip(jnp.swapaxes(img, *hw), axis=hw[1])
+
+
+def rot90_ccw(img: jax.Array) -> jax.Array:
+    hw = (-3, -2) if img.ndim >= 3 and img.shape[-1] <= 4 else (-2, -1)
+    return jnp.flip(jnp.swapaxes(img, *hw), axis=hw[0])
+
+
+def rot180(img: jax.Array) -> jax.Array:
+    hw = (-3, -2) if img.ndim >= 3 and img.shape[-1] <= 4 else (-2, -1)
+    return jnp.flip(jnp.flip(img, axis=hw[0]), axis=hw[1])
+
+
+def _cubic_weights(t: jax.Array, a: float = -0.75) -> tuple:
+    """Keys bicubic weights for fractional offset t (cv2 INTER_CUBIC a=-0.75)."""
+    t2, t3 = t * t, t * t * t
+    w_m1 = a * t3 - 2 * a * t2 + a * t
+    w_0 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w_1 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w_2 = -a * t3 + a * t2
+    return w_m1, w_0, w_1, w_2
+
+
+def rotate_image(
+    gray: jax.Array,
+    angle_deg: jax.Array,
+    interpolation: str = "cubic",
+) -> jax.Array:
+    """Rotate [B, H, W] float/uint8 images about their center by per-image
+    angles (degrees, CCW-positive like cv2.getRotationMatrix2D), sampling
+    with BORDER_REPLICATE.  Output dtype matches input (uint8 rounds)."""
+    b, h, w = gray.shape
+    x = gray.astype(jnp.float32)
+    theta = jnp.deg2rad(angle_deg.astype(jnp.float32))  # [B]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = (w // 2), (h // 2)  # cv2 center convention used by the reference
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    # Inverse map: source = R(-theta) @ (dst - c) + c
+    dx = xx[None] - cx
+    dy = yy[None] - cy
+    sx = cos[:, None, None] * dx - sin[:, None, None] * dy + cx
+    sy = sin[:, None, None] * dx + cos[:, None, None] * dy + cy
+
+    def sample(xf, yf):
+        xi = jnp.clip(xf, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yf, 0, h - 1).astype(jnp.int32)
+        return jax.vmap(lambda im, yy_, xx_: im[yy_, xx_])(x, yi, xi)
+
+    if interpolation == "nearest":
+        out = sample(jnp.round(sx), jnp.round(sy))
+    elif interpolation == "linear":
+        x0, y0 = jnp.floor(sx), jnp.floor(sy)
+        tx, ty = sx - x0, sy - y0
+        v00 = sample(x0, y0)
+        v01 = sample(x0 + 1, y0)
+        v10 = sample(x0, y0 + 1)
+        v11 = sample(x0 + 1, y0 + 1)
+        out = (
+            v00 * (1 - tx) * (1 - ty)
+            + v01 * tx * (1 - ty)
+            + v10 * (1 - tx) * ty
+            + v11 * tx * ty
+        )
+    else:  # cubic
+        x0, y0 = jnp.floor(sx), jnp.floor(sy)
+        tx, ty = sx - x0, sy - y0
+        wx = _cubic_weights(tx)
+        wy = _cubic_weights(ty)
+        out = jnp.zeros_like(tx)
+        for j, wyj in enumerate(wy):
+            row = jnp.zeros_like(tx)
+            for i, wxi in enumerate(wx):
+                row = row + wxi * sample(x0 + (i - 1), y0 + (j - 1))
+            out = out + wyj * row
+    if gray.dtype == jnp.uint8:
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out.astype(gray.dtype)
+
+
+def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Antialiased bilinear resize (PIL-convention triangle filter), batched
+    over leading dims.  Matches PIL/HF image-processor resizing within test
+    tolerance.  Input [..., H, W] or [..., H, W, C], any numeric dtype;
+    returns float32."""
+    x = img.astype(jnp.float32)
+    if x.ndim >= 3 and img.shape[-1] <= 4:
+        shape = (*x.shape[:-3], out_h, out_w, x.shape[-1])
+    else:
+        shape = (*x.shape[:-2], out_h, out_w)
+    return jax.image.resize(x, shape, method="linear", antialias=True)
+
+
+# ---------------------------------------------------------------------------
+# Orientation (moment PCA reformulation of the reference's minAreaRect angle)
+# ---------------------------------------------------------------------------
+
+
+def orientation_angle_moments(gray: jax.Array) -> jax.Array:
+    """Estimate per-image text-skew angle from the dark-pixel distribution.
+
+    The reference takes cv2.minAreaRect over all pixels with gray < 255 and
+    normalizes the resulting angle; minAreaRect is host-only (convex hull,
+    data-dependent shapes), so on TPU we use the principal-axis angle of the
+    same pixel set's second central moments.  Returns degrees in (-90, 90],
+    where positive = CCW skew (to be passed to ``rotate_image`` directly,
+    which rotates CCW-positive like cv2).
+    """
+    b, h, w = gray.shape
+    mask = (gray < 255).astype(jnp.float32)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
+    m00 = jnp.sum(mask, axis=(1, 2))
+    safe = jnp.maximum(m00, 1.0)
+    mx = jnp.sum(mask * xx[None], axis=(1, 2)) / safe
+    my = jnp.sum(mask * yy[None], axis=(1, 2)) / safe
+    dx = xx[None] - mx[:, None, None]
+    dy = yy[None] - my[:, None, None]
+    mu20 = jnp.sum(mask * dx * dx, axis=(1, 2)) / safe
+    mu02 = jnp.sum(mask * dy * dy, axis=(1, 2)) / safe
+    mu11 = jnp.sum(mask * dx * dy, axis=(1, 2)) / safe
+    # Principal axis angle in image coords (y down): positive = CW in screen
+    theta = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02)
+    deg = jnp.rad2deg(theta)
+    return jnp.where(m00 > 0, deg, 0.0)
+
+
+def normalize_skew_angle(angle: jax.Array, max_abs_deg: float = 45.0) -> jax.Array:
+    """Fold the PCA angle into a small corrective rotation, folding ±90°
+    symmetry.  ``orientation_angle_moments`` returns the y-down principal-axis
+    angle (positive = visually clockwise skew); cv2-convention rotation with
+    that same positive angle turns the image counter-clockwise, undoing it,
+    so the corrective rotation equals the folded angle."""
+    a = jnp.where(angle > 45.0, angle - 90.0, angle)
+    a = jnp.where(a < -45.0, a + 90.0, a)
+    return jnp.clip(a, -max_abs_deg, max_abs_deg)

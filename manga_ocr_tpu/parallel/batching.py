@@ -1,0 +1,126 @@
+"""Padded, bucketed page batching — the TPU replacement for per-crop jobs.
+
+The reference runs one Python worker thread per crop, each invoking the model
+once (``QueueProcessorWorker``, ``/root/reference/src/core/workers.py:200``;
+pool management ``main_window.py:4317``).  The TPU-native design instead
+gathers every crop of a page (or several pages), pads them into a small set
+of fixed shape buckets, and decodes them all in one dispatch:
+
+- crop sizes vary wildly → each crop is padded (edge-replicate) into the
+  smallest bucket that fits, so the number of distinct compiled shapes stays
+  small (compile-once, reuse forever),
+- the batch dim is padded to a power-of-two schedule for the same reason,
+- bucket contents are preprocessed (resize to 224) *inside* the jitted graph,
+  so padding cost is bounded by the resize, not the model.
+
+Host-side code here is intentionally trivial (numpy copies only); everything
+compute-shaped lives in the jitted graphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+# (h, w) buckets ordered by area; chosen to cover manga bubble crop shapes:
+# near-square, tall (vertical text), wide (horizontal banners).
+DEFAULT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (128, 128),
+    (256, 128),
+    (128, 256),
+    (256, 256),
+    (512, 256),
+    (256, 512),
+    (512, 512),
+    (1024, 512),
+    (512, 1024),
+)
+
+BATCH_SCHEDULE = (8, 16, 32, 64, 128, 256, 512)
+
+
+def pick_bucket(
+    h: int, w: int, buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS
+) -> tuple[int, int]:
+    """Smallest bucket that contains (h, w); falls back to the largest."""
+    best = None
+    for bh, bw in buckets:
+        if h <= bh and w <= bw:
+            area = bh * bw
+            if best is None or area < best[0]:
+                best = (area, (bh, bw))
+    if best is not None:
+        return best[1]
+    return max(buckets, key=lambda b: b[0] * b[1])
+
+
+def pad_batch_size(n: int, schedule: Sequence[int] = BATCH_SCHEDULE) -> int:
+    for s in schedule:
+        if n <= s:
+            return s
+    # beyond schedule: round up to multiple of the largest step
+    top = schedule[-1]
+    return ((n + top - 1) // top) * top
+
+
+def pad_crop_to(crop: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad a [h, w, 3] uint8 crop to [bh, bw, 3].
+
+    Edge replication (not zero/white fill) keeps the resized image statistics
+    close to the unpadded crop's — white fill would be fine for typical manga
+    but replicate is neutral across art styles."""
+    h, w = crop.shape[:2]
+    if h > bh or w > bw:
+        # downscale-free guard: center-crop oversized inputs (callers should
+        # have picked a fitting bucket; this is a safety net)
+        crop = crop[:bh, :bw]
+        h, w = crop.shape[:2]
+    return np.pad(crop, ((0, bh - h), (0, bw - w), (0, 0)), mode="edge")
+
+
+@dataclasses.dataclass
+class BucketedBatch:
+    """One padded bucket: crops + bookkeeping to scatter results back."""
+
+    bucket_hw: tuple[int, int]
+    crops: np.ndarray  # [B_padded, bh, bw, 3] uint8
+    indices: list[int]  # original crop index per valid row
+    valid: int  # number of real rows (rest are padding)
+
+
+def bucket_crops(
+    crops: Sequence[np.ndarray],
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+) -> list[BucketedBatch]:
+    """Group variable-size crops into padded fixed-shape batches."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, crop in enumerate(crops):
+        hw = pick_bucket(crop.shape[0], crop.shape[1], buckets)
+        groups.setdefault(hw, []).append(i)
+
+    out = []
+    for hw, idxs in sorted(groups.items(), key=lambda kv: kv[0][0] * kv[0][1]):
+        bh, bw = hw
+        n = len(idxs)
+        bn = pad_batch_size(n)
+        arr = np.zeros((bn, bh, bw, 3), np.uint8)
+        for row, i in enumerate(idxs):
+            arr[row] = pad_crop_to(np.ascontiguousarray(crops[i]), bh, bw)
+        if bn > n:
+            arr[n:] = arr[n - 1] if n else 0  # repeat last row as batch padding
+        out.append(BucketedBatch(hw, arr, idxs, n))
+    return out
+
+
+def scatter_results(
+    batches: Sequence[BucketedBatch], per_batch_results: Sequence[Sequence]
+) -> list:
+    """Invert ``bucket_crops``: reassemble per-crop results in input order."""
+    total = sum(b.valid for b in batches)
+    out = [None] * total
+    for batch, results in zip(batches, per_batch_results):
+        for row, idx in enumerate(batch.indices):
+            out[idx] = results[row]
+    return out
