@@ -1,0 +1,182 @@
+"""Translation dispatch service: provider routing, rate limits, fallbacks.
+
+Behavioral rebuild of the reference's translate orchestration
+(``translate_with_ai`` dispatch ``/root/reference/src/ui/main_window.py:
+3854-3862``; DeepL/"free" fallback ladder ``workers.py:359-380`` and
+``translate_text`` ``:5103-5142``; rate-limit wait ``workers.py:424-432``):
+
+- provider chosen per call (settings-driven),
+- AI failure falls back to DeepL when a key exists,
+- every AI call passes the rate limiter (blocking acquire) and records
+  token costs,
+- errors surface as ``"[ERROR: ...]"`` sentinel strings, never exceptions
+  (the pipeline contract).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from manga_ocr_tpu.core.settings import Settings
+from manga_ocr_tpu.translate import prompts
+from manga_ocr_tpu.translate.providers import (
+    DeepLClient,
+    GeminiClient,
+    OpenAIClient,
+    OpenRouterClient,
+    ProviderError,
+)
+from manga_ocr_tpu.utils.rate_limit import RateLimiter
+
+
+def _err(msg: str) -> str:
+    return f"[ERROR: {msg}]"
+
+
+class TranslationService:
+    def __init__(
+        self,
+        settings: Settings | None = None,
+        rate_limiter: RateLimiter | None = None,
+        transport: Callable | None = None,
+    ):
+        self.settings = settings or Settings()
+        self.limiter = rate_limiter or RateLimiter()
+        self.transport = transport
+        self._clients: dict[str, object] = {}
+
+    # -- client factory --------------------------------------------------------
+
+    def _client(self, provider: str):
+        cached = self._clients.get(provider)
+        if cached is not None:
+            return cached
+        key = self.settings.get_active_key(provider)
+        if not key:
+            raise ProviderError(f"no API key configured for {provider}")
+        if provider == "gemini":
+            client = GeminiClient(key, transport=self.transport)
+        elif provider == "openai":
+            client = OpenAIClient(key, transport=self.transport)
+        elif provider == "openrouter":
+            url = self.settings.get("translate.openrouter.url")
+            client = OpenRouterClient(key, base_url=url, transport=self.transport)
+        elif provider == "deepl":
+            client = DeepLClient(key, transport=self.transport)
+        else:
+            raise ProviderError(f"unknown provider {provider}")
+        self._clients[provider] = client
+        return client
+
+    # -- main entry points -------------------------------------------------------
+
+    def translate_with_ai(
+        self,
+        text: str,
+        provider: str = "gemini",
+        model: str = "gemini-2.5-flash-lite",
+        target_lang: str = "English",
+        is_enhanced: bool = False,
+        ocr_results: dict | None = None,
+        context: str | None = None,
+    ) -> str:
+        """AI translation with rate limiting, cost accounting and DeepL
+        fallback; sentinel error string on total failure."""
+        prompt = prompts.build_translation_prompt(
+            text,
+            target_lang=target_lang,
+            is_enhanced=is_enhanced,
+            ocr_results=ocr_results,
+            context=context,
+        )
+        try:
+            client = self._client(provider)
+            self.limiter.acquire(model)
+            out = client.generate(prompt, model=model)
+            u = client.last_usage
+            self.limiter.add_cost(model, u.input_tokens, u.output_tokens)
+            if out:
+                return out
+        except ProviderError:
+            pass
+        except Exception as e:  # unexpected — still never raise to pipeline
+            return _err(f"{type(e).__name__}: {e}")
+        # Fallback ladder: DeepL if configured
+        fallback = self.translate_text(text, target_lang=target_lang)
+        if fallback:
+            return fallback
+        return _err(f"translation failed via {provider}/{model}")
+
+    def translate_text(self, text: str, target_lang: str = "English") -> str | None:
+        """Plain DeepL translation (the reference's non-AI path)."""
+        lang_code = {"english": "EN", "indonesian": "ID", "japanese": "JA"}.get(
+            target_lang.lower(), target_lang[:2].upper()
+        )
+        try:
+            client = self._client("deepl")
+            self.limiter.acquire("deepl")
+            return client.translate(text, target_lang=lang_code)
+        except ProviderError:
+            return None
+
+    def translate_batch(
+        self,
+        texts: list[str],
+        provider: str = "gemini",
+        model: str = "gemini-2.5-flash-lite",
+        target_lang: str = "English",
+    ) -> list[str | None]:
+        """One numbered prompt for many texts; per-slot parse-back
+        (``BatchProcessorWorker``'s Gemini path, without its NameError bugs —
+        SURVEY §2.8)."""
+        if not texts:
+            return []
+        prompt = prompts.build_batch_prompt(texts, target_lang=target_lang)
+        try:
+            client = self._client(provider)
+            self.limiter.acquire(model)
+            reply = client.generate(prompt, model=model)
+            u = client.last_usage
+            self.limiter.add_cost(model, u.input_tokens, u.output_tokens)
+        except ProviderError as e:
+            return [None] * len(texts)
+        return prompts.parse_numbered_response(reply, len(texts))
+
+    def review_scene(
+        self,
+        entries: list[tuple[str, str]],
+        provider: str = "gemini",
+        model: str = "gemini-2.5-flash-lite",
+        target_lang: str = "English",
+        instruction: str | None = None,
+    ) -> list[str | None]:
+        """Scene-context revision pass ([Text N] contract)."""
+        if not entries:
+            return []
+        prompt = prompts.build_scene_prompt(entries, target_lang, instruction)
+        try:
+            client = self._client(provider)
+            self.limiter.acquire(model)
+            reply = client.generate(prompt, model=model)
+        except ProviderError:
+            return [None] * len(entries)
+        return prompts.parse_scene_response(reply, len(entries))
+
+    def review_batch(
+        self,
+        entries: list[tuple[str, str]],
+        mode: str = "proofread",
+        provider: str = "gemini",
+        model: str = "gemini-2.5-flash-lite",
+    ) -> list[dict]:
+        """Proofread/QC pass returning structured suggestions."""
+        if not entries:
+            return []
+        prompt = prompts.build_review_prompt(entries, mode)
+        try:
+            client = self._client(provider)
+            self.limiter.acquire(model)
+            reply = client.generate(prompt, model=model)
+        except ProviderError:
+            return []
+        return prompts.parse_json_array_response(reply)
