@@ -51,6 +51,9 @@ def bench_batch(fn, params, batch: int, iters: int = 6) -> float:
 def main() -> None:
     from manga_ocr_tpu.models import model as mdl
     from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.utils import jax_cache
+
+    jax_cache.enable()
 
     cfg = MangaOCRConfig.base()
     params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

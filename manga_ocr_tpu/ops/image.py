@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Color
@@ -227,17 +228,56 @@ def rotate_image(
     return out.astype(gray.dtype)
 
 
+def _triangle_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """PIL-convention antialiased triangle (bilinear) filter as a dense
+    row-stochastic matrix [out_size, in_size].
+
+    Resizing then becomes two matmuls (rows and columns) — pure MXU work
+    with trivial compile cost, unlike gather-based resize lowerings."""
+    scale = in_size / out_size
+    support = max(1.0, scale)  # filter footprint grows when downscaling
+    mat = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = int(np.floor(center - support))
+        hi = int(np.ceil(center + support))
+        js = np.arange(max(lo, 0), min(hi + 1, in_size))
+        w = 1.0 - np.abs((js + 0.5) - center) / support
+        w = np.clip(w, 0.0, None)
+        s = w.sum()
+        if s <= 0:  # fallback: nearest
+            j = min(in_size - 1, max(0, int(center)))
+            mat[i, j] = 1.0
+        else:
+            mat[i, js] = w / s
+    return mat
+
+
+@functools.lru_cache(maxsize=64)
+def _resize_mats(in_h: int, in_w: int, out_h: int, out_w: int):
+    return (
+        jnp.asarray(_triangle_resize_matrix(in_h, out_h)),
+        jnp.asarray(_triangle_resize_matrix(in_w, out_w).T),
+    )
+
+
 def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Antialiased bilinear resize (PIL-convention triangle filter), batched
-    over leading dims.  Matches PIL/HF image-processor resizing within test
-    tolerance.  Input [..., H, W] or [..., H, W, C], any numeric dtype;
-    returns float32."""
+    over leading dims, implemented as two separable matmuls (MXU-native).
+    Matches PIL/HF image-processor resizing within test tolerance.
+    Input [..., H, W] or [..., H, W, C]; returns float32."""
     x = img.astype(jnp.float32)
-    if x.ndim >= 3 and img.shape[-1] <= 4:
-        shape = (*x.shape[:-3], out_h, out_w, x.shape[-1])
-    else:
-        shape = (*x.shape[:-2], out_h, out_w)
-    return jax.image.resize(x, shape, method="linear", antialias=True)
+    channels_last = x.ndim >= 3 and img.shape[-1] <= 4
+    if channels_last:
+        x = jnp.moveaxis(x, -1, -3)  # [..., C, H, W]
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    mh, mw = _resize_mats(in_h, in_w, out_h, out_w)
+    # rows: [out_h, H] @ [..., H, W] ; cols: [..., out_h, W] @ [W, out_w]
+    x = jnp.einsum("oh,...hw->...ow", mh, x)
+    x = jnp.einsum("...hw,wo->...ho", x, mw)
+    if channels_last:
+        x = jnp.moveaxis(x, -3, -1)
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,227 @@
+"""The OCR→translate→typeset pipeline runtime (host orchestration).
+
+The reference's pipeline is 15 Python threads each running one crop at a
+time through OCR and translation (``QueueProcessorWorker``,
+``/root/reference/src/core/workers.py:200-436``; pool management
+``main_window.py:4317-4327``).  The TPU-native replacement inverts control:
+
+- ``MicroBatcher`` — keeps the reference's *per-crop* calling convention
+  alive: single ``submit()`` calls coalesce within a small window (default
+  10 ms) and execute as ONE batched device dispatch.  Unmodified per-crop
+  callers get page-batch throughput.
+- ``PagePipeline`` — the batch-first path: detect → crop jobs → one padded
+  OCR dispatch per bucket → (optional) batch translation → ``TypesetArea``
+  construction with frozen cleanup geometry and per-area overrides
+  (``_create_typeset_area`` behavior, ``main_window.py:4498-4533``).
+
+Translation is HTTP-bound and stays concurrent on host threads; device work
+never blocks on the network.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from manga_ocr_tpu.core.geometry import Rect, polygon_bounding_rect
+from manga_ocr_tpu.typeset.area import TypesetArea
+
+
+@dataclasses.dataclass
+class OcrJob:
+    """The crop-job schema (reference: ``main_window.py:6432-6438``)."""
+
+    image_path: str
+    rect: Rect
+    polygon: np.ndarray
+    cropped_image: np.ndarray  # BGR uint8
+    settings: dict = dataclasses.field(default_factory=dict)
+    pre_text: Optional[str] = None  # pre-detected text skips OCR
+
+
+@dataclasses.dataclass
+class JobResult:
+    job: OcrJob
+    original_text: str
+    translated_text: str
+    area: Optional[TypesetArea] = None
+    error: Optional[str] = None
+
+
+class MicroBatcher:
+    """Coalesce single-crop OCR calls into batched dispatches.
+
+    ``submit(crop)`` returns a Future; a background thread drains the queue
+    every ``window_ms`` (or when ``max_batch`` is reached) and runs one
+    batched call for everything collected."""
+
+    def __init__(
+        self,
+        batch_fn: Callable[[list[np.ndarray]], list[str]],
+        window_ms: float = 10.0,
+        max_batch: int = 256,
+    ):
+        self.batch_fn = batch_fn
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._queue: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, crop: np.ndarray) -> Future:
+        fut: Future = Future()
+        self._queue.put((crop, fut))
+        return fut
+
+    def ocr(self, crop: np.ndarray, timeout: float | None = 120.0) -> str:
+        return self.submit(crop).result(timeout)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = threading.Event()
+            deadline.wait(self.window_s)  # collection window
+            while len(batch) < self.max_batch:
+                try:
+                    batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            crops = [c for c, _ in batch]
+            futures = [f for _, f in batch]
+            try:
+                texts = self.batch_fn(crops)
+                for fut, text in zip(futures, texts):
+                    fut.set_result(text)
+            except Exception as e:
+                for fut in futures:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
+def create_typeset_area(
+    job: OcrJob, translated: str, original: str, settings: dict | None = None
+) -> TypesetArea:
+    """Build the output area with frozen cleanup geometry + overrides
+    (``_create_typeset_area`` behavior)."""
+    settings = settings or job.settings or {}
+    area = TypesetArea(
+        rect=job.rect,
+        text=translated,
+        polygon=np.asarray(job.polygon, np.int32),
+        cleanup_rect=job.rect,
+        cleanup_polygon=np.asarray(job.polygon, np.int32),
+        orientation=settings.get("typeset_orientation", "horizontal"),
+        original_text=original,
+    )
+    area.set_override("use_inpaint", bool(settings.get("use_inpaint", True)))
+    area.set_override(
+        "use_background_box", bool(settings.get("use_background_box", True))
+    )
+    if settings.get("font"):
+        area.font = dict(settings["font"])
+    if settings.get("text_color"):
+        area.color = settings["text_color"]
+    return area
+
+
+class PagePipeline:
+    """Batch-first page processing: one OCR dispatch per bucket per page,
+    concurrent HTTP translation, TypesetArea assembly."""
+
+    def __init__(
+        self,
+        ocr_page: Callable[[Sequence[np.ndarray]], list[str]],
+        translate: Callable[[str, dict], str] | None = None,
+        translate_batch: Callable[[list[str], dict], list[str | None]] | None = None,
+        dual_pass: Callable[[Sequence[np.ndarray]], list[tuple[str, str]]] | None = None,
+        max_http_workers: int = 8,
+    ):
+        self.ocr_page = ocr_page
+        self.translate = translate
+        self.translate_batch = translate_batch
+        self.dual_pass = dual_pass
+        self._pool = ThreadPoolExecutor(max_workers=max_http_workers)
+
+    def process_jobs(
+        self,
+        jobs: Sequence[OcrJob],
+        enhanced: bool = False,
+        on_result: Callable[[JobResult], None] | None = None,
+    ) -> list[JobResult]:
+        """Run a page's worth of jobs.  Pre-detected text skips OCR
+        (reference rule, ``workers.py:282-284``)."""
+        jobs = list(jobs)
+        results: list[Optional[JobResult]] = [None] * len(jobs)
+
+        need_ocr = [i for i, j in enumerate(jobs) if not j.pre_text]
+        originals: dict[int, str] = {
+            i: j.pre_text for i, j in enumerate(jobs) if j.pre_text
+        }
+        merged_inputs: dict[int, dict] = {}
+
+        if need_ocr:
+            crops = [jobs[i].cropped_image for i in need_ocr]
+            if enhanced and self.dual_pass is not None:
+                pairs = self.dual_pass(crops)
+                for i, (raw, pre) in zip(need_ocr, pairs):
+                    # longer text wins as the display original (workers.py:404)
+                    originals[i] = raw if len(raw) >= len(pre) else pre
+                    merged_inputs[i] = {"manga_ocr": raw, "preprocessed": pre}
+            else:
+                texts = self.ocr_page(crops)
+                for i, text in zip(need_ocr, texts):
+                    originals[i] = text
+
+        # Translation (concurrent HTTP; batch API when provided)
+        translations: dict[int, str] = {}
+        idxs = list(range(len(jobs)))
+        if self.translate_batch is not None and not enhanced:
+            batch_out = self.translate_batch(
+                [originals[i] for i in idxs], jobs[0].settings if jobs else {}
+            )
+            for i, t in zip(idxs, batch_out):
+                if t:
+                    translations[i] = t
+        missing = [i for i in idxs if i not in translations]
+        if self.translate is not None and missing:
+            def _do(i):
+                settings = dict(jobs[i].settings or {})
+                if i in merged_inputs:
+                    settings["ocr_results"] = merged_inputs[i]
+                    settings["is_enhanced"] = True
+                return i, self.translate(originals[i], settings)
+
+            for i, t in self._pool.map(_do, missing):
+                translations[i] = t
+        for i in idxs:
+            translations.setdefault(i, originals[i])  # no translator: passthrough
+
+        for i, job in enumerate(jobs):
+            original = originals.get(i, "")
+            translated = translations.get(i, "")
+            error = None
+            if isinstance(original, str) and original.startswith("[ERROR"):
+                error = original
+            area = None if error else create_typeset_area(job, translated, original)
+            res = JobResult(job, original, translated, area, error)
+            results[i] = res
+            if on_result:
+                on_result(res)
+        return results  # type: ignore[return-value]
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
