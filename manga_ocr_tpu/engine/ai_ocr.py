@@ -1,0 +1,241 @@
+"""AI-OCR: vision-LLM OCR over HTTP (the reference's AI_OCR / MOFRL-GPT).
+
+Behavioral rebuild of ``_call_ai_ocr`` (``/root/reference/src/ui/
+main_window.py:10000-10186``) and ``_call_mofrl_ocr`` (``:10188-10472``):
+
+- the crop is PNG-encoded into a base64 data URL,
+- several request payload schemas are tried in order, because OpenAI-style
+  endpoints disagree (``image_url`` block, ``input_image`` block, plain text
+  prompt with the data URL inline); Gemini uses ``inline_data`` with the key
+  in the query string,
+- responses are cached on disk keyed by md5(image + prompt + model) so
+  re-runs are free (``:10023-10034``),
+- ``max_completion_tokens`` replaces ``max_tokens`` for gpt-5* models,
+- language-specific prompts (incl. furigana-pairing guidance for Japanese).
+
+Transport is injectable; everything is testable offline.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import io
+import json
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from manga_ocr_tpu.utils.http import robust_post
+
+
+def _err(msg: str) -> str:
+    return f"[ERROR: {msg}]"
+
+
+def _png_data_url(image_bgr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image_bgr[..., ::-1]).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    return f"data:image/png;base64,{b64}"
+
+
+def ocr_prompt(lang: str = "ja") -> str:
+    """Language-specific OCR prompt (``_get_ai_ocr_prompt`` behavior)."""
+    base = (
+        "Transcribe ALL text visible in this image exactly as written. "
+        "Reply with the transcription only — no commentary, no translation."
+    )
+    if lang.startswith("ja"):
+        base += (
+            " The text is Japanese manga dialogue; read vertical text "
+            "top-to-bottom, right-to-left. When furigana appears beside a "
+            "kanji, output only the kanji (not the reading)."
+        )
+    return base
+
+
+def _extract_text(data: dict) -> str | None:
+    """Pull the reply text out of OpenAI- or Gemini-shaped responses
+    (``_extract_ai_ocr_text`` behavior)."""
+    try:  # OpenAI chat
+        return data["choices"][0]["message"]["content"].strip()
+    except (KeyError, IndexError, TypeError, AttributeError):
+        pass
+    try:  # Gemini
+        parts = data["candidates"][0]["content"]["parts"]
+        return "".join(p.get("text", "") for p in parts).strip()
+    except (KeyError, IndexError, TypeError):
+        pass
+    return None
+
+
+class AiOcrEngine:
+    """HTTP vision-LLM OCR with payload-variant ladder + disk cache."""
+
+    def __init__(
+        self,
+        url: str,
+        api_key: str = "",
+        model: str = "",
+        cache_dir: str | None = None,
+        transport: Callable | None = None,
+        timeout: float = 90.0,
+        max_output_tokens: int = 1024,
+    ):
+        self.url = url
+        self.api_key = api_key
+        self.model = model
+        self.cache_dir = cache_dir
+        self.transport = transport
+        self.timeout = timeout
+        self.max_output_tokens = max_output_tokens
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    # -- cache ------------------------------------------------------------------
+
+    def _cache_key(self, image_bytes: bytes, prompt: str) -> str:
+        return hashlib.md5(
+            image_bytes + prompt.encode() + self.model.encode()
+        ).hexdigest()
+
+    def _cache_get(self, key: str) -> str | None:
+        if not self.cache_dir:
+            return None
+        path = os.path.join(self.cache_dir, f"{key}.json")
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    return json.load(f)["text"]
+            except (OSError, json.JSONDecodeError, KeyError):
+                return None
+        return None
+
+    def _cache_put(self, key: str, text: str) -> None:
+        if not self.cache_dir:
+            return
+        path = os.path.join(self.cache_dir, f"{key}.json")
+        with open(path, "w") as f:
+            json.dump({"text": text}, f, ensure_ascii=False)
+
+    # -- payload variants ----------------------------------------------------------
+
+    def _payload_variants(self, data_url: str, prompt: str) -> list[dict]:
+        tokens_key = (
+            "max_completion_tokens" if self.model.startswith("gpt-5") else "max_tokens"
+        )
+        common = {"model": self.model, tokens_key: self.max_output_tokens}
+        return [
+            {  # OpenAI vision: image_url content block
+                **common,
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": [
+                            {"type": "text", "text": prompt},
+                            {"type": "image_url", "image_url": {"url": data_url}},
+                        ],
+                    }
+                ],
+            },
+            {  # responses-style: input_image block
+                **common,
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": [
+                            {"type": "text", "text": prompt},
+                            {"type": "input_image", "image_url": data_url},
+                        ],
+                    }
+                ],
+            },
+            {  # plain text with inline data URL
+                **common,
+                "messages": [{"role": "user", "content": f"{prompt}\n{data_url}"}],
+            },
+        ]
+
+    # -- engine interface -------------------------------------------------------------
+
+    def perform_ocr(self, cv_bgr_image: np.ndarray, settings: dict | None = None) -> str:
+        settings = settings or {}
+        lang = str(settings.get("ocr_lang", "ja"))
+        prompt = settings.get("ai_ocr_prompt") or ocr_prompt(lang)
+        try:
+            data_url = _png_data_url(cv_bgr_image)
+        except Exception as e:
+            return _err(f"encode: {e}")
+        image_bytes = data_url.encode()
+        key = self._cache_key(image_bytes, prompt)
+        cached = self._cache_get(key)
+        if cached is not None:
+            return cached
+
+        if "generativelanguage" in self.url:  # Gemini inline_data path
+            return self._call_gemini(cv_bgr_image, prompt, key)
+
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        last_error = "no payload variant accepted"
+        for payload in self._payload_variants(data_url, prompt):
+            try:
+                resp = robust_post(
+                    self.url,
+                    json=payload,
+                    headers=headers,
+                    timeout=self.timeout,
+                    transport=self.transport,
+                )
+            except ConnectionError as e:
+                last_error = str(e)
+                continue
+            if not resp.ok:
+                last_error = f"HTTP {resp.status_code}"
+                continue
+            text = _extract_text(resp.json())
+            if text:
+                self._cache_put(key, text)
+                return text
+        return _err(f"AI_OCR: {last_error}")
+
+    def _call_gemini(self, image_bgr: np.ndarray, prompt: str, key: str) -> str:
+        from PIL import Image
+        import io as _io
+
+        buf = _io.BytesIO()
+        Image.fromarray(image_bgr[..., ::-1]).save(buf, format="PNG")
+        payload = {
+            "contents": [
+                {
+                    "parts": [
+                        {"text": prompt},
+                        {
+                            "inline_data": {
+                                "mime_type": "image/png",
+                                "data": base64.b64encode(buf.getvalue()).decode(),
+                            }
+                        },
+                    ]
+                }
+            ]
+        }
+        url = f"{self.url}?key={self.api_key}" if self.api_key else self.url
+        try:
+            resp = robust_post(
+                url, json=payload, timeout=self.timeout, transport=self.transport
+            )
+        except ConnectionError as e:
+            return _err(f"AI_OCR: {e}")
+        if not resp.ok:
+            return _err(f"AI_OCR: HTTP {resp.status_code}")
+        text = _extract_text(resp.json())
+        if text:
+            self._cache_put(key, text)
+            return text
+        return _err("AI_OCR: empty response")

@@ -1,0 +1,154 @@
+"""OCR engine registry + dispatch (the reference's engine/language layer).
+
+Behavioral rebuild of ``perform_ocr``'s engine dispatch
+(``/root/reference/src/ui/main_window.py:9774-9931``) and the
+engine/language registry (``populate_ocr_languages`` ``:3266-3347``):
+
+- engines register under the reference's names (Manga-OCR, Tesseract,
+  EasyOCR, PaddleOCR, DocTR, RapidOCR, AI_OCR, MOFRL-GPT),
+- availability is probed lazily (optional host deps are never imported at
+  module load),
+- **Japanese always routes to Manga-OCR when available** (the reference
+  suppresses Japanese entries of other engines, ``:3291-3316``),
+- unknown engines / failures return ``"[ERROR: ...]"`` sentinel strings.
+
+The TPU engine is the first-class citizen; host engines are thin optional
+adapters kept for capability parity.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+from typing import Callable, Optional, Protocol
+
+import numpy as np
+
+
+def _err(msg: str) -> str:
+    return f"[ERROR: {msg}]"
+
+
+class OcrEngine(Protocol):
+    def perform_ocr(self, cv_bgr_image: np.ndarray, settings: dict | None = None) -> str: ...
+
+
+class EngineRegistry:
+    def __init__(self):
+        self._engines: dict[str, object] = {}
+        self._factories: dict[str, Callable[[], object]] = {}
+
+    def register(self, name: str, engine: object) -> None:
+        self._engines[name] = engine
+
+    def register_lazy(self, name: str, factory: Callable[[], object]) -> None:
+        self._factories[name] = factory
+
+    def get(self, name: str):
+        if name in self._engines:
+            return self._engines[name]
+        if name in self._factories:
+            try:
+                engine = self._factories.pop(name)()
+            except Exception:
+                engine = None
+            if engine is not None:
+                self._engines[name] = engine
+            return engine
+        return None
+
+    def available_engines(self) -> list[str]:
+        names = set(self._engines) | set(self._factories)
+        return sorted(n for n in names if self.get(n) is not None)
+
+    # -- dispatch (perform_ocr contract) ---------------------------------------
+
+    def perform_ocr(self, image: np.ndarray, settings: dict) -> str:
+        name = settings.get("ocr_engine", "Manga-OCR")
+        lang = str(settings.get("ocr_lang", "ja")).lower()
+        # Japanese is forced to Manga-OCR when present (reference rule).
+        if ("ja" in lang or "jp" in lang) and self.get("Manga-OCR") is not None:
+            name = "Manga-OCR"
+        engine = self.get(name)
+        if engine is None:
+            return _err(f"{name} not installed or initialized")
+        try:
+            return engine.perform_ocr(image, settings)
+        except Exception as e:
+            return _err(f"{name}: {type(e).__name__}: {e}")
+
+    def ocr_languages(self) -> dict[str, list[str]]:
+        """Engine -> language entries (the OCR_LANGS combo contract)."""
+        langs: dict[str, list[str]] = {}
+        for name in self.available_engines():
+            if name == "Manga-OCR":
+                langs[name] = ["ja"]
+            elif name == "Tesseract":
+                langs[name] = ["en", "ja", "ko", "zh"]
+            elif name in ("AI_OCR", "MOFRL-GPT"):
+                langs[name] = ["any"]
+            else:
+                langs[name] = ["en", "ko", "zh"]  # ja suppressed: Manga-OCR wins
+        return langs
+
+
+# ---------------------------------------------------------------------------
+# Host engine adapters (optional, for capability parity)
+# ---------------------------------------------------------------------------
+
+
+class TesseractEngine:
+    """Tesseract via subprocess (the reference shells out via pytesseract,
+    ``main_window.py:9921-9929``: --oem 1, --psm 5 vertical / 6 horizontal)."""
+
+    def __init__(self, binary: str | None = None):
+        self.binary = binary or shutil.which("tesseract")
+        if not self.binary:
+            raise RuntimeError("tesseract binary not found")
+
+    def perform_ocr(self, image: np.ndarray, settings: dict | None = None) -> str:
+        settings = settings or {}
+        lang = settings.get("tesseract_lang", "eng")
+        vertical = settings.get("orientation") == "Vertical"
+        psm = "5" if vertical else "6"
+        try:
+            from PIL import Image
+
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                Image.fromarray(image[..., ::-1]).save(f.name)
+                out = subprocess.run(
+                    [self.binary, f.name, "stdout", "-l", lang, "--oem", "1", "--psm", psm],
+                    capture_output=True,
+                    timeout=60,
+                )
+            if out.returncode != 0:
+                return _err(f"TESSERACT: {out.stderr.decode()[:200]}")
+            return out.stdout.decode("utf-8", errors="replace").strip()
+        except Exception as e:
+            return _err(f"TESSERACT: {e}")
+
+
+def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
+    """Standard registry: the TPU engine + lazily-probed host engines."""
+    reg = EngineRegistry()
+    if tpu_engine is not None:
+        reg.register("Manga-OCR", tpu_engine)
+    if ai_ocr is not None:
+        reg.register("AI_OCR", ai_ocr)
+    reg.register_lazy("Tesseract", TesseractEngine)
+
+    def _easyocr():
+        import easyocr  # optional
+
+        reader = easyocr.Reader(["en"], gpu=False)
+
+        class _E:
+            def perform_ocr(self, image, settings=None):
+                res = reader.readtext(image[..., ::-1], detail=0, paragraph=True)
+                return "\n".join(res)
+
+        return _E()
+
+    reg.register_lazy("EasyOCR", _easyocr)
+    return reg
