@@ -36,10 +36,20 @@ def patch_embed(params: dict, pixel_values: jax.Array, cfg: EncoderConfig) -> ja
     return dense(x, kernel, params["bias"])
 
 
-def encoder_block(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
+def _attention(h: jax.Array, lp: dict, cfg: EncoderConfig, fused: bool) -> jax.Array:
+    if fused:
+        from manga_ocr_tpu.ops.flash_attention import mha_fused
+
+        return mha_fused(h, h, lp["attn"], cfg.num_heads)
+    return mha(h, h, lp["attn"], cfg.num_heads)
+
+
+def encoder_block(
+    x: jax.Array, lp: dict, cfg: EncoderConfig, fused: bool = False
+) -> jax.Array:
     """One pre-LN ViT block."""
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
-    x = x + mha(h, h, lp["attn"], cfg.num_heads)
+    x = x + _attention(h, lp, cfg, fused)
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
     h = dense(h, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"])
     h = gelu(h)
@@ -47,14 +57,24 @@ def encoder_block(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
     return x + h
 
 
+def _default_fused() -> bool:
+    """Use the Pallas fused-attention kernel on TPU backends."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def encode(
     params: dict,
     pixel_values: jax.Array,
     cfg: EncoderConfig,
     dtype: jnp.dtype = jnp.float32,
+    fused_attention: bool | None = None,
 ) -> jax.Array:
     """Full encoder forward: [B, H, W, C] normalized pixels -> [B, S, D]
     hidden states (S = num_patches + 1 CLS token)."""
+    fused = _default_fused() if fused_attention is None else fused_attention
     x = patch_embed(params["patch_embed"], pixel_values.astype(dtype), cfg)
     b = x.shape[0]
     cls = jnp.broadcast_to(
@@ -64,7 +84,7 @@ def encode(
     x = x + params["pos_embed"].astype(dtype)
 
     def body(carry, lp):
-        return encoder_block(carry, lp, cfg), None
+        return encoder_block(carry, lp, cfg, fused), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return layer_norm(
