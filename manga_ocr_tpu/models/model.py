@@ -48,16 +48,30 @@ def greedy_decode(
     enc_out: jax.Array,
     cfg: MangaOCRConfig,
     max_length: int | None = None,
+    chunk_size: int = 8,
 ) -> GreedyResult:
-    """Greedy autoregressive decode for a batch of encoder outputs."""
+    """Greedy autoregressive decode for a batch of encoder outputs.
+
+    Chunked loop structure: a static-trip ``fori_loop`` decodes
+    ``chunk_size`` tokens per chunk, and a ``while_loop`` over *chunks*
+    provides done-masked early exit.  Rationale: a data-dependent
+    ``while_loop`` condition costs ~1 ms per evaluation on the target
+    runtime (per-iteration continuation sync), so checking every token made
+    the condition — not the math — the dominant decode cost; checking every
+    ``chunk_size`` tokens amortizes it while still stopping early for
+    short texts (typical manga bubbles: 5–30 chars vs max_length 300).
+    """
     dcfg = cfg.decoder
     max_len = max_length or cfg.max_length
     b = enc_out.shape[0]
     dtype = enc_out.dtype
 
+    n_chunks = -(-(max_len - 1) // chunk_size)
+    padded_len = 1 + n_chunks * chunk_size  # inner loop never goes OOB
+
     cross_kv = dec.precompute_cross_kv(params["decoder"], enc_out, dcfg)
-    cache = dec.init_cache(dcfg, b, max_len, dtype)
-    tokens = jnp.full((b, max_len), dcfg.pad_token_id, jnp.int32)
+    cache = dec.init_cache(dcfg, b, padded_len, dtype)
+    tokens = jnp.full((b, padded_len), dcfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(dcfg.bos_token_id)
 
     init = _LoopState(
@@ -69,10 +83,7 @@ def greedy_decode(
         cache=cache,
     )
 
-    def cond(s: _LoopState):
-        return jnp.logical_and(s.step < max_len - 1, jnp.logical_not(jnp.all(s.done)))
-
-    def body(s: _LoopState):
+    def one_step(_, s: _LoopState) -> _LoopState:
         logits, cache = dec.decode_step(
             params["decoder"], s.last, s.step, s.cache, cross_kv, dcfg
         )
@@ -92,8 +103,20 @@ def greedy_decode(
             cache=cache,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
-    return GreedyResult(final.tokens, final.lengths)
+    def chunk_cond(s: _LoopState):
+        return jnp.logical_and(
+            s.step < max_len - 1, jnp.logical_not(jnp.all(s.done))
+        )
+
+    def chunk_body(s: _LoopState):
+        return jax.lax.fori_loop(0, chunk_size, one_step, s)
+
+    final = jax.lax.while_loop(chunk_cond, chunk_body, init)
+    # Rows may have decoded a few tokens past max_len-1 inside the last
+    # chunk; clamp bookkeeping to the contract.
+    tokens = final.tokens[:, :max_len]
+    lengths = jnp.minimum(final.lengths, max_len)
+    return GreedyResult(tokens, lengths)
 
 
 def ocr_forward(

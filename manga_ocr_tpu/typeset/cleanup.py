@@ -46,6 +46,11 @@ def dilate(mask: np.ndarray, radius: int) -> np.ndarray:
     if HAS_CV2:
         k = cv2.getStructuringElement(cv2.MORPH_RECT, (2 * radius + 1, 2 * radius + 1))
         return cv2.dilate(mask, k)
+    from manga_ocr_tpu import native
+
+    nat = native.dilate_box(mask, radius)
+    if nat is not None:
+        return nat
     out = mask.copy()
     for axis in (0, 1):
         acc = out.copy()

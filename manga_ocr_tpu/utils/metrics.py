@@ -1,0 +1,109 @@
+"""Observability: stage timing, throughput counters, profiler traces.
+
+The reference has no tracing or metrics beyond prints and progress bars
+(SURVEY §5.1/§5.5); the rebuild makes them first-class:
+
+- ``StageTimer`` — per-stage wall-time accounting for the pipeline
+  (detect / preprocess / encode-decode / translate / typeset),
+- ``ThroughputCounter`` — the crops/sec/chip metric the north star is
+  scored on,
+- ``trace`` — context manager around ``jax.profiler`` for device traces
+  readable with the TensorBoard profile plugin.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import threading
+import time
+from collections import defaultdict
+from typing import Iterator
+
+
+class StageTimer:
+    def __init__(self, clock=time.perf_counter):
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._totals: dict[str, float] = defaultdict(float)
+        self._counts: dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = self._clock()
+        try:
+            yield
+        finally:
+            dt = self._clock() - t0
+            with self._lock:
+                self._totals[name] += dt
+                self._counts[name] += 1
+
+    def record(self, name: str, seconds: float) -> None:
+        with self._lock:
+            self._totals[name] += seconds
+            self._counts[name] += 1
+
+    def summary(self) -> dict:
+        with self._lock:
+            return {
+                name: {
+                    "total_s": round(self._totals[name], 6),
+                    "count": self._counts[name],
+                    "mean_ms": round(self._totals[name] / self._counts[name] * 1000, 3),
+                }
+                for name in self._totals
+            }
+
+    def report(self) -> str:
+        return json.dumps(self.summary(), indent=2, sort_keys=True)
+
+
+class ThroughputCounter:
+    """Sliding-window items/sec counter (crops OCR'd, pages rendered...)."""
+
+    def __init__(self, window_s: float = 60.0, clock=time.time):
+        self.window_s = window_s
+        self._clock = clock
+        self._lock = threading.Lock()
+        self._events: list[tuple[float, int]] = []
+        self._total = 0
+
+    def add(self, n: int = 1) -> None:
+        now = self._clock()
+        with self._lock:
+            self._events.append((now, n))
+            self._total += n
+            cutoff = now - self.window_s
+            while self._events and self._events[0][0] < cutoff:
+                self._events.pop(0)
+
+    @property
+    def total(self) -> int:
+        return self._total
+
+    def rate(self) -> float:
+        now = self._clock()
+        with self._lock:
+            cutoff = now - self.window_s
+            items = sum(n for t, n in self._events if t >= cutoff)
+            if not self._events:
+                return 0.0
+            span = min(self.window_s, max(now - self._events[0][0], 1e-9))
+            return items / span
+
+
+@contextlib.contextmanager
+def trace(logdir: str) -> Iterator[None]:
+    """Capture a device trace: ``with metrics.trace('/tmp/trace'): ...``"""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+GLOBAL_TIMER = StageTimer()
+OCR_COUNTER = ThroughputCounter()

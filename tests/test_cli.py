@@ -1,0 +1,55 @@
+"""CLI smoke tests (tiny model injected; no checkpoint, no network)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_cli_ocr_and_process(tmp_path, monkeypatch, capsys):
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu import cli
+    from manga_ocr_tpu.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    # swap the full-size engine for a tiny one (CLI is about plumbing here)
+    cfg = MangaOCRConfig.tiny()
+
+    def tiny_engine(args):
+        params = mdl.init_params(cfg, jax.random.PRNGKey(0))
+        return TpuMangaOcrEngine(
+            params, cfg, CharTokenizer.synthetic(), max_length=8, dtype=jnp.float32
+        )
+
+    monkeypatch.setattr(cli, "_build_engine", tiny_engine)
+
+    img = tmp_path / "crop.png"
+    Image.fromarray(np.full((40, 60, 3), 220, np.uint8)).save(img)
+
+    rc = cli.main(["ocr", str(img)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert str(img) in out
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    Image.fromarray(np.full((64, 64, 3), 240, np.uint8)).save(pages / "p1.png")
+    outdir = tmp_path / "out"
+    rc = cli.main(["process", str(pages), "--out", str(outdir)])
+    assert rc == 0
+    assert (outdir / "project.json").exists()
+    assert (pages / "p1_typeset.png").exists()
+
+
+def test_cli_missing_image_errors(tmp_path, monkeypatch):
+    from manga_ocr_tpu import cli
+
+    monkeypatch.setattr(cli, "_build_engine", lambda args: None)
+    rc = cli.main(["ocr", str(tmp_path / "nope.png")])
+    assert rc == 1
