@@ -1,0 +1,92 @@
+"""Drop-in compatibility shims for reference-era callers.
+
+``MangaOcr`` mimics the black-box callable the reference instantiates at
+startup (``self.manga_ocr_reader = MangaOcr()`` then
+``self.manga_ocr_reader(pil_img)`` — ``/root/reference/src/ui/
+main_window.py:3392-3398, :9801``): construct once, call with a PIL image
+(or numpy array / path), get the OCR'd string.  Behind it sits the batched
+TPU engine and a microbatcher, so many concurrent per-crop callers still
+coalesce into page-size device dispatches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+class MangaOcr:
+    """API-compatible replacement for ``manga_ocr.MangaOcr``."""
+
+    def __init__(
+        self,
+        pretrained_model_name_or_path: str | None = None,
+        force_cpu: bool = False,
+        microbatch_window_ms: float = 10.0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from manga_ocr_tpu.engine import TpuMangaOcrEngine
+        from manga_ocr_tpu.models import model as mdl
+        from manga_ocr_tpu.models.config import MangaOCRConfig
+        from manga_ocr_tpu.models.convert import load_hf_checkpoint
+        from manga_ocr_tpu.models.tokenizer import CharTokenizer
+        from manga_ocr_tpu.runtime.pipeline import MicroBatcher
+        from manga_ocr_tpu.utils import jax_cache
+
+        jax_cache.enable()
+        if force_cpu:
+            jax.config.update("jax_platforms", "cpu")
+        path = pretrained_model_name_or_path or os.environ.get(
+            "MANGA_OCR_CHECKPOINT", ""
+        )
+        dtype = jnp.float32 if force_cpu else jnp.bfloat16
+        if path and os.path.isdir(path):
+            params, cfg = load_hf_checkpoint(path, dtype)
+            vocab = os.path.join(path, "vocab.txt")
+            tok = (
+                CharTokenizer.from_vocab_file(vocab)
+                if os.path.exists(vocab)
+                else CharTokenizer.synthetic()
+            )
+        else:
+            if path:
+                raise FileNotFoundError(
+                    f"checkpoint dir not found: {path!r} (hub downloads are "
+                    "not supported in this environment; pass a local dir)"
+                )
+            cfg = MangaOCRConfig.base()
+            params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype)
+            tok = CharTokenizer.synthetic()
+        self.engine = TpuMangaOcrEngine(params, cfg, tok, dtype=dtype)
+        self._batcher = MicroBatcher(
+            self.engine.ocr_page, window_ms=microbatch_window_ms
+        )
+
+    def __call__(self, img) -> str:
+        """PIL image / numpy array / path -> OCR'd text."""
+        arr = _to_bgr(img)
+        return self._batcher.ocr(arr)
+
+    def close(self) -> None:
+        self._batcher.close()
+
+
+def _to_bgr(img) -> np.ndarray:
+    if isinstance(img, str):
+        from manga_ocr_tpu.core.files import safe_open_image
+
+        arr = safe_open_image(img)
+        if arr is None:
+            raise FileNotFoundError(img)
+        return arr
+    if isinstance(img, np.ndarray):
+        if img.ndim == 2:
+            return np.repeat(img[..., None], 3, axis=-1)
+        return img
+    # PIL image
+    rgb = np.asarray(img.convert("RGB"))
+    return rgb[..., ::-1].copy()
