@@ -151,4 +151,71 @@ def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
         return _E()
 
     reg.register_lazy("EasyOCR", _easyocr)
+
+    def _paddleocr():
+        from paddleocr import PaddleOCR  # optional
+
+        # version-tolerant constructor (the reference probes 3 signatures,
+        # main_window.py:3476-3501)
+        for kwargs in (
+            {"use_angle_cls": True, "lang": "en", "show_log": False},
+            {"use_angle_cls": True, "lang": "en"},
+            {"lang": "en"},
+        ):
+            try:
+                ocr = PaddleOCR(**kwargs)
+                break
+            except TypeError:
+                continue
+        else:
+            return None
+
+        class _P:
+            def perform_ocr(self, image, settings=None):
+                result = ocr.ocr(image)
+                lines = []
+                for page in result or []:
+                    for item in page or []:
+                        try:
+                            lines.append(item[1][0])
+                        except (IndexError, TypeError):
+                            continue
+                return "\n".join(lines)
+
+        return _P()
+
+    reg.register_lazy("PaddleOCR", _paddleocr)
+
+    def _doctr():
+        from doctr.models import ocr_predictor  # optional
+
+        predictor = ocr_predictor(pretrained=True)
+
+        class _D:
+            def perform_ocr(self, image, settings=None):
+                res = predictor([image[..., ::-1]])
+                words = []
+                for page in res.pages:
+                    for block in page.blocks:
+                        for line in block.lines:
+                            words.append(" ".join(w.value for w in line.words))
+                return "\n".join(words)
+
+        return _D()
+
+    reg.register_lazy("DocTR", _doctr)
+
+    def _rapidocr():
+        from rapidocr_onnxruntime import RapidOCR  # optional
+
+        ocr = RapidOCR()
+
+        class _R:
+            def perform_ocr(self, image, settings=None):
+                result, _ = ocr(image)
+                return "\n".join(item[1] for item in result or [])
+
+        return _R()
+
+    reg.register_lazy("RapidOCR", _rapidocr)
     return reg

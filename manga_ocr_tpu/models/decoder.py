@@ -47,10 +47,15 @@ class KVCache(NamedTuple):
 
 
 class CrossKV(NamedTuple):
-    """Per-layer cross-attention K/V projected from encoder output."""
+    """Per-layer cross-attention K/V projected from encoder output.
 
-    k: jax.Array  # [L, B, H, S_enc, dh]
-    v: jax.Array  # [L, B, H, S_enc, dh]
+    Layout [L, B, H, dh, S]: encoder positions on the minor (lane) axis.
+    Measured fastest for the per-step einsums on v5e (~25% over
+    [B, S, H, dh] / [B, H, S, dh]) — the contraction axes land on
+    hardware-friendly dims for both the score and context products."""
+
+    k: jax.Array  # [L, B, H, dh, S_enc]
+    v: jax.Array  # [L, B, H, dh, S_enc]
 
 
 def init_cache(
@@ -81,18 +86,18 @@ def embed(
 def precompute_cross_kv(params: dict, enc_out: jax.Array, cfg: DecoderConfig) -> CrossKV:
     """Project encoder hidden states to per-layer cross-attention K/V once.
 
-    Stored as [L, B, S, H, dh] (reshape of the projection output, no head
-    transpose): the decode-step einsums contract this layout directly, and
-    avoiding the [.., H, S, dh] materialization saves a large relayout pass
-    (measured ~4x on v5e)."""
+    One [B,S,H,dh]→[B,H,dh,S] relayout per layer here (amortized over every
+    decode step) buys the fastest per-step einsum layout — see ``CrossKV``."""
     b, s, _ = enc_out.shape
     ks, vs = [], []
     for l in range(cfg.num_layers):
         lp = jax.tree.map(lambda x: x[l], params["layers"]["cross_attn"])
         k = dense(enc_out, lp["k"]["kernel"], lp["k"]["bias"])
         v = dense(enc_out, lp["v"]["kernel"], lp["v"]["bias"])
-        ks.append(k.reshape(b, s, cfg.num_heads, cfg.head_dim))
-        vs.append(v.reshape(b, s, cfg.num_heads, cfg.head_dim))
+        k = k.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 3, 1)
+        v = v.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 3, 1)
+        ks.append(k)
+        vs.append(v)
     return CrossKV(jnp.stack(ks), jnp.stack(vs))
 
 
@@ -187,15 +192,15 @@ def decode_step(
         ).astype(x.dtype).reshape(b, h_ * dh)
         out = dense(ctx, sa["o"]["kernel"], sa["o"]["bias"])
         x = _post_ln_block(out, x, lp["self_ln"], cfg.layer_norm_eps)
-        # -- cross-attention over precomputed encoder K/V ([B,S,H,dh]) -------
+        # -- cross-attention over precomputed encoder K/V ([B,H,dh,S]) -------
         ca = lp["cross_attn"]
         q = dense(x, ca["q"]["kernel"], ca["q"]["bias"]).reshape(b, h_, dh)
         cs = jnp.einsum(
-            "bhd,bshd->bhs", q, cross_kv.k[l], preferred_element_type=jnp.float32
+            "bhd,bhds->bhs", q, cross_kv.k[l], preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
         cp = jax.nn.softmax(cs, axis=-1)
         cctx = jnp.einsum(
-            "bhs,bshd->bhd", cp.astype(x.dtype), cross_kv.v[l],
+            "bhs,bhds->bhd", cp.astype(x.dtype), cross_kv.v[l],
             preferred_element_type=jnp.float32,
         ).astype(x.dtype).reshape(b, h_ * dh)
         out = dense(cctx, ca["o"]["kernel"], ca["o"]["bias"])

@@ -33,71 +33,91 @@ from manga_ocr_tpu.ops import common
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
-    q = q_ref[0]  # [S, dh]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = q.shape[0]
-    logits = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [S, S] f32
-    if valid_len < s:
-        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), dimension=1)
-        logits = jnp.where(col < valid_len, logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p,
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, scores_ref, *, valid_len: int, scale: float, group: int
+):
+    """One program handles ``group`` (batch, head) pairs: per pair,
+    QK^T → mask → softmax → AV with the f32 logits living in VMEM scratch.
+    Grouping amortizes per-program grid overhead (measured ~25 µs/program
+    on v5e — a 1-head grid spends more on iteration than on math)."""
+    s = q_ref.shape[1]
+
+    def one(g, _):
+        q = q_ref[g]  # [S, dh]
+        logits = jax.lax.dot_general(
+            q,
+            k_ref[g],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if valid_len < s:
+            col = jax.lax.broadcasted_iota(jnp.int32, (s, s), dimension=1)
+            logits = jnp.where(col < valid_len, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        scores_ref[:] = (p / denom).astype(scores_ref.dtype)
+        o_ref[g] = jax.lax.dot_general(
+            scores_ref[:],
+            v_ref[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, one, 0)
 
 
 def _pad_len(s: int) -> int:
     return ((s + 127) // 128) * 128
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "group"))
 def fused_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    interpret: bool = False,
+    group: int = 8,  # VMEM budget: (3 in + 1 out) x group x [256,64] blocks
+    # double-buffered + f32 score temporaries must stay under the ~16 MB
+    # scoped VMEM limit; 8 measured at XLA parity, 32 OOMs.
 ) -> jax.Array:
     """[B, H, S, dh] q/k/v -> [B, H, S, dh] attention output (full, unmasked
     except sequence padding)."""
     b, h, s, dh = q.shape
     sp = _pad_len(s)
     scale = 1.0 / (dh**0.5)
+    n = b * h
+    group = min(group, n)
+    while n % group:
+        group //= 2
+    group = max(group, 1)
 
     def prep(x):
-        x = x.reshape(b * h, s, dh)
+        x = x.reshape(n, s, dh)
         if sp != s:
             x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
         return x
 
     qp, kp, vp = prep(q), prep(k), prep(v)
-    kernel = functools.partial(_attn_kernel, valid_len=s, scale=scale)
+    kernel = functools.partial(
+        _attn_kernel, valid_len=s, scale=scale, group=group
+    )
+    spec = pl.BlockSpec(
+        (group, sp, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, sp, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, sp, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, sp, dh), q.dtype),
+        grid=(n // group,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, sp, dh), q.dtype),
+        scratch_shapes=[pltpu.VMEM((sp, sp), q.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * h * sp * sp * dh,
-            bytes_accessed=4 * b * h * sp * dh * q.dtype.itemsize,
-            transcendentals=b * h * sp * sp,
+            flops=2 * 2 * n * sp * sp * dh,
+            bytes_accessed=4 * n * sp * dh * q.dtype.itemsize,
+            transcendentals=n * sp * sp,
         ),
     )(qp, kp, vp)
     return out[:, :s, :].reshape(b, h, s, dh)

@@ -89,7 +89,9 @@ class ThroughputCounter:
             items = sum(n for t, n in self._events if t >= cutoff)
             if not self._events:
                 return 0.0
-            span = min(self.window_s, max(now - self._events[0][0], 1e-9))
+            # Floor the span at 1 s so a burst of events at a single instant
+            # reads as items/sec, not items/epsilon.
+            span = min(self.window_s, max(now - self._events[0][0], 1.0))
             return items / span
 
 
