@@ -60,12 +60,26 @@ class TpuMangaOcrEngine:
         tokenizer: CharTokenizer,
         max_length: int | None = None,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — params are placed with
+        tensor-parallel shardings and every crop batch is sharded over the
+        data axis (ICI batch parallelism, SURVEY §5.8); None = single chip."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_length = max_length or cfg.max_length
         self.dtype = dtype
+        self.mesh = mesh
         self.params = mdl.cast_params(params, dtype)
+        if mesh is not None:
+            from manga_ocr_tpu.parallel import mesh as meshlib
+
+            self.params = meshlib.shard_params(self.params, mesh)
+            self._batch_sharding = meshlib.batch_sharding(mesh)
+            self._batch_multiple = mesh.shape[meshlib.DATA_AXIS]
+        else:
+            self._batch_sharding = None
+            self._batch_multiple = 1
         self._fns: dict = {}
         self._lock = threading.Lock()
 
@@ -109,7 +123,15 @@ class TpuMangaOcrEngine:
         outs = []
         for b in batches:
             fn = self._bucket_fn(b.bucket_hw, orientation)
-            outs.append((b, fn(self.params, jnp.asarray(b.crops))))
+            arr = b.crops
+            if arr.shape[0] % self._batch_multiple:
+                pad = self._batch_multiple - arr.shape[0] % self._batch_multiple
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+            if self._batch_sharding is not None:
+                device_arr = jax.device_put(arr, self._batch_sharding)
+            else:
+                device_arr = jnp.asarray(arr)
+            outs.append((b, fn(self.params, device_arr)))
         for b, out in outs:
             tokens = np.asarray(out.tokens[: b.valid])
             lengths = np.asarray(out.lengths[: b.valid])

@@ -255,9 +255,11 @@ def _triangle_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=64)
 def _resize_mats(in_h: int, in_w: int, out_h: int, out_w: int):
+    # NOTE: cache *numpy* arrays, not jnp — a jnp array created while
+    # tracing would cache a tracer and leak into later traces.
     return (
-        jnp.asarray(_triangle_resize_matrix(in_h, out_h)),
-        jnp.asarray(_triangle_resize_matrix(in_w, out_w).T),
+        _triangle_resize_matrix(in_h, out_h),
+        _triangle_resize_matrix(in_w, out_w).T,
     )
 
 
@@ -271,7 +273,8 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     if channels_last:
         x = jnp.moveaxis(x, -1, -3)  # [..., C, H, W]
     in_h, in_w = x.shape[-2], x.shape[-1]
-    mh, mw = _resize_mats(in_h, in_w, out_h, out_w)
+    mh_np, mw_np = _resize_mats(in_h, in_w, out_h, out_w)
+    mh, mw = jnp.asarray(mh_np), jnp.asarray(mw_np)
     # rows: [out_h, H] @ [..., H, W] ; cols: [..., out_h, W] @ [W, out_w]
     x = jnp.einsum("oh,...hw->...ow", mh, x)
     x = jnp.einsum("...hw,wo->...ho", x, mw)

@@ -1,0 +1,42 @@
+"""Engine on a multi-chip mesh (virtual 8-device CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.engine import TpuMangaOcrEngine
+from manga_ocr_tpu.models import model as mdl
+from manga_ocr_tpu.models.config import MangaOCRConfig
+from manga_ocr_tpu.models.tokenizer import CharTokenizer
+from manga_ocr_tpu.parallel import mesh as meshlib
+
+
+def _crop(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_engine_on_mesh_matches_single_device():
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))
+    tok = CharTokenizer.synthetic()
+    single = TpuMangaOcrEngine(params, cfg, tok, max_length=8, dtype=jnp.float32)
+    mesh = meshlib.make_mesh(n_data=8, n_model=1)
+    sharded = TpuMangaOcrEngine(
+        params, cfg, tok, max_length=8, dtype=jnp.float32, mesh=mesh
+    )
+    crops = [_crop(40, 60, i) for i in range(5)]
+    assert single.ocr_page(crops) == sharded.ocr_page(crops)
+
+
+def test_engine_mesh_odd_batch_padding():
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(1))
+    mesh = meshlib.make_mesh(n_data=8, n_model=1)
+    eng = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8,
+        dtype=jnp.float32, mesh=mesh,
+    )
+    out = eng.ocr_page([_crop(30, 30, i) for i in range(3)])
+    assert len(out) == 3
