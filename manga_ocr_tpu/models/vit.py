@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from manga_ocr_tpu.models.config import EncoderConfig
-from manga_ocr_tpu.ops.common import dense, gelu, layer_norm, mha
+from manga_ocr_tpu.ops.common import dense, dense_any, gelu, layer_norm, mha
 
 
 def patch_embed(params: dict, pixel_values: jax.Array, cfg: EncoderConfig) -> jax.Array:
@@ -51,9 +51,9 @@ def encoder_block(
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
     x = x + _attention(h, lp, cfg, fused)
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-    h = dense(h, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"])
+    h = dense_any(h, lp["mlp"]["fc1"])
     h = gelu(h)
-    h = dense(h, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+    h = dense_any(h, lp["mlp"]["fc2"])
     return x + h
 
 

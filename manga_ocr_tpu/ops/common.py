@@ -33,6 +33,16 @@ def dense(x: jax.Array, kernel: jax.Array, bias: jax.Array | None = None) -> jax
     return y.astype(x.dtype)
 
 
+def dense_any(x: jax.Array, p: dict) -> jax.Array:
+    """Dense dispatch: bf16 kernel or int8-quantized form (see
+    ``models.quantize``)."""
+    if "w_q" in p:
+        from manga_ocr_tpu.ops.quant import dense_int8
+
+        return dense_int8(x, p["w_q"], p["scale"], p.get("bias"))
+    return dense(x, p["kernel"], p.get("bias"))
+
+
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     """[..., S, D] -> [..., H, S, dh]"""
     *lead, s, d = x.shape
@@ -84,11 +94,11 @@ def mha(
     ``p`` holds q/k/v/o dense params. Works for self-attention
     (x_q is x_kv) and cross-attention.
     """
-    q = split_heads(dense(x_q, p["q"]["kernel"], p["q"]["bias"]), num_heads)
-    k = split_heads(dense(x_kv, p["k"]["kernel"], p["k"]["bias"]), num_heads)
-    v = split_heads(dense(x_kv, p["v"]["kernel"], p["v"]["bias"]), num_heads)
+    q = split_heads(dense_any(x_q, p["q"]), num_heads)
+    k = split_heads(dense_any(x_kv, p["k"]), num_heads)
+    v = split_heads(dense_any(x_kv, p["v"]), num_heads)
     ctx = attention_scores(q, k, v, mask)
-    return dense(merge_heads(ctx), p["o"]["kernel"], p["o"]["bias"])
+    return dense_any(merge_heads(ctx), p["o"])
 
 
 def gelu(x: jax.Array) -> jax.Array:
