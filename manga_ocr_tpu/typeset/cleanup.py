@@ -132,13 +132,23 @@ def erase_area(
     use_inpaint: bool = True,
     use_background_box: bool = True,
     inpaint_padding: int = 2,
+    inpainter=None,
 ) -> np.ndarray:
     """Full cleanup for one area -> new image (the reference's per-area
-    erase ladder: inpaint → background-color fill → background box)."""
+    erase ladder: LaMa-style model → cv2/numpy inpaint → background box).
+
+    ``inpainter``: optional ``(image_bgr, mask_u8) -> image_bgr`` callable
+    (e.g. ``models.inpaint.LamaInpainter``); exceptions fall through to the
+    classical inpaint, mirroring the reference's probing ladder."""
     out = image_bgr.copy()
     if use_inpaint:
         mask = build_cleanup_mask(out.shape, cleanup_polygon, bubble_mask, inpaint_padding)
         if mask.any():
+            if inpainter is not None:
+                try:
+                    return np.asarray(inpainter(out, mask))
+                except Exception:
+                    pass
             return inpaint(out, mask)
     if use_background_box:
         color = get_background_color(out, cleanup_rect)
