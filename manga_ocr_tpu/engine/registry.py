@@ -30,6 +30,21 @@ def _err(msg: str) -> str:
     return f"[ERROR: {msg}]"
 
 
+def _latin_preprocess(image: np.ndarray, settings: dict) -> np.ndarray:
+    """Binarize via the jitted preprocessing graph for Latin OCR engines."""
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.ops import preprocess as pp
+
+    orientation = {
+        "Auto-Detect": pp.ORIENT_AUTO,
+        "Vertical": pp.ORIENT_VERTICAL,
+        "Horizontal": pp.ORIENT_HORIZONTAL,
+    }.get(str(settings.get("orientation", "Auto-Detect")), pp.ORIENT_AUTO)
+    out, _ = pp.ocr_preprocess(jnp.asarray(image[None]), orientation=orientation)
+    return np.asarray(out[0])
+
+
 class OcrEngine(Protocol):
     def perform_ocr(self, cv_bgr_image: np.ndarray, settings: dict | None = None) -> str: ...
 
@@ -65,6 +80,13 @@ class EngineRegistry:
     # -- dispatch (perform_ocr contract) ---------------------------------------
 
     def perform_ocr(self, image: np.ndarray, settings: dict) -> str:
+        """Engine dispatch with the reference's crop-preparation rules
+        (``run_standard_pipeline``, ``workers.py:281-352``):
+
+        - Manga-OCR gets the raw crop (orientation handled in-engine),
+        - AI engines get the pure raw crop,
+        - other (Latin) engines get the binarized ``ocr_preprocess`` output,
+          retrying with the raw crop when the result comes back empty."""
         name = settings.get("ocr_engine", "Manga-OCR")
         lang = str(settings.get("ocr_lang", "ja")).lower()
         # Japanese is forced to Manga-OCR when present (reference rule).
@@ -74,7 +96,14 @@ class EngineRegistry:
         if engine is None:
             return _err(f"{name} not installed or initialized")
         try:
-            return engine.perform_ocr(image, settings)
+            if name in ("Manga-OCR", "AI_OCR", "MOFRL-GPT"):
+                return engine.perform_ocr(image, settings)
+            # Latin-engine path: preprocess, retry raw on empty result
+            processed = _latin_preprocess(image, settings)
+            out = engine.perform_ocr(processed, settings)
+            if not (out or "").strip() or out.startswith("[ERROR"):
+                out = engine.perform_ocr(image, settings)
+            return out
         except Exception as e:
             return _err(f"{name}: {type(e).__name__}: {e}")
 
