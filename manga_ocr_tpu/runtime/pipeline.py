@@ -223,5 +223,45 @@ class PagePipeline:
                 on_result(res)
         return results  # type: ignore[return-value]
 
+    def process_pages(
+        self,
+        pages: Sequence[tuple[str, np.ndarray]],
+        detect: Callable[[np.ndarray], list[dict]],
+        settings: dict | None = None,
+        enhanced: bool = False,
+        on_page: Callable[[str, list[JobResult]], None] | None = None,
+    ) -> dict[str, list[JobResult]]:
+        """Multi-page pipeline with host/device overlap: page N+1's host-side
+        detection + crop extraction runs on a worker thread while page N's
+        OCR dispatch is in flight (the reference's AutoDetector → queue →
+        worker fan-out collapsed into a two-stage pipeline)."""
+        from manga_ocr_tpu.detect.detector import crops_from_detections
+
+        settings = settings or {}
+
+        def prepare(item):
+            path, page = item
+            detections = detect(page)
+            crops, metas = crops_from_detections(page, detections)
+            jobs = [
+                OcrJob(path, m["rect"], m["polygon"], crop, settings, m["text"])
+                for crop, m in zip(crops, metas)
+            ]
+            return path, jobs
+
+        results: dict[str, list[JobResult]] = {}
+        prep_pool = ThreadPoolExecutor(max_workers=1)
+        futures = [prep_pool.submit(prepare, item) for item in pages]
+        try:
+            for fut in futures:
+                path, jobs = fut.result()
+                page_results = self.process_jobs(jobs, enhanced=enhanced)
+                results[path] = page_results
+                if on_page:
+                    on_page(path, page_results)
+        finally:
+            prep_pool.shutdown(wait=False)
+        return results
+
     def close(self) -> None:
         self._pool.shutdown(wait=False)

@@ -183,3 +183,27 @@ def test_autosaver(tmp_path):
     saver.stop()
     loaded = load_project(path)
     assert loaded.to_payload()["schema_version"] == 2
+
+
+def test_process_pages_overlapped():
+    import numpy as np
+
+    from manga_ocr_tpu.core.geometry import Rect, polygon_from_rect
+
+    def detect(page):
+        h, w = page.shape[:2]
+        return [{"polygon": polygon_from_rect(Rect(0, 0, w // 2, h // 2)), "text": None}]
+
+    def ocr_page(crops):
+        return [f"t{i}" for i in range(len(crops))]
+
+    pipe = PagePipeline(ocr_page, translate=lambda t, s: t.upper())
+    pages = [
+        ("a.png", np.full((40, 40, 3), 200, np.uint8)),
+        ("b.png", np.full((60, 60, 3), 100, np.uint8)),
+    ]
+    seen = []
+    out = pipe.process_pages(pages, detect, on_page=lambda p, r: seen.append(p))
+    assert sorted(out) == ["a.png", "b.png"]
+    assert seen == ["a.png", "b.png"]
+    assert out["a.png"][0].translated_text == "T0"
