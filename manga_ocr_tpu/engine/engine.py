@@ -174,7 +174,8 @@ class TpuMangaOcrEngine:
 
     def warmup(self, bucket_hws: Sequence[tuple[int, int]] | None = None) -> None:
         """Pre-compile the common bucket shapes (compile-once discipline)."""
-        for hw in bucket_hws or ((256, 256),):
+        default = ((128, 128), (256, 128), (128, 256), (256, 256))
+        for hw in bucket_hws or default:
             n = batching.BATCH_SCHEDULE[0]
             dummy = jnp.zeros((n, hw[0], hw[1], 3), jnp.uint8)
             fn = self._bucket_fn(hw, pp.ORIENT_VERTICAL)

@@ -79,7 +79,9 @@ class MicroBatcher:
         self._queue.put((crop, fut))
         return fut
 
-    def ocr(self, crop: np.ndarray, timeout: float | None = 120.0) -> str:
+    def ocr(self, crop: np.ndarray, timeout: float | None = 600.0) -> str:
+        """Default timeout covers a cold first compile of a new shape bucket
+        (~3 min through remote compile); warmed paths answer in ~100 ms."""
         return self.submit(crop).result(timeout)
 
     def _run(self) -> None:

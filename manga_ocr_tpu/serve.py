@@ -107,6 +107,8 @@ def make_handler(service: OcrService):
                     self._reply(200, {"texts": texts})
                 else:
                     self._reply(404, {"error": "not found"})
+            except TimeoutError as e:
+                self._reply(503, {"error": f"busy/compiling: {e}"})
             except Exception as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
