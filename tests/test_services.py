@@ -181,3 +181,27 @@ def test_translate_batch_parses_slots():
     s.add_key("gemini", "k")
     svc = TranslationService(s, transport=_gemini_transport("1. one\n2. two"))
     assert svc.translate_batch(["a", "b"]) == ["one", "two"]
+
+
+# -- translation styles -----------------------------------------------------------
+
+
+def test_translation_styles_roundtrip(tmp_path):
+    from manga_ocr_tpu.translate.styles import TranslationStyles
+
+    path = str(tmp_path / "styles.json")
+    s = TranslationStyles(path)
+    assert "Standard" in s.names()
+    s.set("Shonen", "High-energy battle dialogue; short punchy lines.")
+    s.save()
+    s2 = TranslationStyles(path)
+    assert s2.get("Shonen").startswith("High-energy")
+    s2.delete("Shonen")
+    assert s2.get("Shonen") is None
+
+
+def test_style_notes_flow_into_prompt():
+    from manga_ocr_tpu.translate.prompts import build_translation_prompt
+
+    p = build_translation_prompt("x", style_notes="Keep honorifics.")
+    assert "Keep honorifics." in p
