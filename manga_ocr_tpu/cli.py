@@ -98,7 +98,26 @@ def cmd_process(args) -> int:
     detector = None
     det_ckpt = args.detector or settings.get("tpu.detector_checkpoint")
     if det_ckpt and os.path.exists(det_ckpt):
-        detector = BubbleDetector.from_checkpoint(det_ckpt)
+        if args.detector_type == "yolo":
+            from manga_ocr_tpu.detect import contours as cont
+            from manga_ocr_tpu.models import yolo_seg
+
+            cfg_y = yolo_seg.YoloSegConfig()
+            yolo = yolo_seg.YoloBubbleDetector(
+                yolo_seg.load_params(det_ckpt, cfg_y), cfg_y
+            )
+
+            class _YoloAdapter:
+                def detect_bubbles(self, page):
+                    mask = yolo.detect_bubble_mask(page)
+                    return [
+                        {"polygon": p, "text": None}
+                        for p in cont.mask_to_polygons(mask, min_area=200)
+                    ]
+
+            detector = _YoloAdapter()
+        else:
+            detector = BubbleDetector.from_checkpoint(det_ckpt)
 
     translate = None
     if args.translate:
@@ -169,6 +188,10 @@ def main(argv=None) -> int:
     p_proc.add_argument("folder")
     p_proc.add_argument("--out", required=True)
     p_proc.add_argument("--detector", default="", help="bubble segmenter .npz")
+    p_proc.add_argument(
+        "--detector-type", default="unet", choices=("unet", "yolo"),
+        help="segmentation family for --detector weights",
+    )
     p_proc.add_argument("--settings", default="", help="settings.json path")
     p_proc.add_argument("--translate", action="store_true")
     p_proc.add_argument("--provider", default="gemini")

@@ -304,6 +304,27 @@ def init_params(cfg: YoloSegConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     }
 
 
+def save_params(params: dict, path: str) -> None:
+    from manga_ocr_tpu.models.detector import save_params as _save
+
+    _save(params, path)
+
+
+def load_params(path: str, cfg: YoloSegConfig, dtype=jnp.float32) -> dict:
+    """Load a flat-npz pytree saved by ``save_params`` (template-driven)."""
+    data = np.load(path)
+    template = init_params(cfg, jax.random.PRNGKey(0), dtype)
+
+    def fill(prefix, node):
+        if isinstance(node, dict):
+            return {k: fill(f"{prefix}/{k}" if prefix else k, v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [fill(f"{prefix}/{i}", v) for i, v in enumerate(node)]
+        return jnp.asarray(data[prefix], dtype)
+
+    return fill("", template)
+
+
 class YoloBubbleDetector:
     """Reference-contract wrapper: page BGR -> OR-ed 0/255 bubble mask."""
 

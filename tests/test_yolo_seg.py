@@ -89,3 +89,13 @@ def test_detector_wrapper_end_to_end(tiny_cfg, params):
     page = np.random.default_rng(0).integers(0, 255, size=(90, 70, 3)).astype(np.uint8)
     mask = det.detect_bubble_mask(page)
     assert mask.shape == (90, 70) and mask.dtype == np.uint8
+
+
+def test_yolo_params_save_load_roundtrip(tmp_path, tiny_cfg, params):
+    import jax
+
+    path = str(tmp_path / "yolo.npz")
+    ys.save_params(params, path)
+    loaded = ys.load_params(path, tiny_cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
