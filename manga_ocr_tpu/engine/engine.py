@@ -147,11 +147,18 @@ class TpuMangaOcrEngine:
         if not len(crops):
             return []
         crops = [np.asarray(c, np.uint8) for c in crops]
+        # Binarize via the preprocessing graph in *bucketed* batches — a
+        # per-crop call would compile one graph per distinct crop shape.
+        pre_batches = batching.bucket_crops(crops)
+        pre_results = []
+        for b in pre_batches:
+            out, _ = pp.ocr_preprocess(jnp.asarray(b.crops), orientation=pp.ORIENT_AUTO)
+            out = np.asarray(out[: b.valid])
+            pre_results.append(list(out))
+        pre_padded = batching.scatter_results(pre_batches, pre_results)
+        # crop each preprocessed image back to its original size
         pre = [
-            np.asarray(
-                pp.ocr_preprocess(jnp.asarray(c)[None], orientation=pp.ORIENT_AUTO)[0][0]
-            )
-            for c in crops
+            p[: c.shape[0], : c.shape[1]] for p, c in zip(pre_padded, crops)
         ]
         both = self.ocr_page(list(crops) + pre, orientation)
         n = len(crops)
