@@ -1,0 +1,41 @@
+"""Accuracy-eval harness tests."""
+
+import numpy as np
+
+from manga_ocr_tpu.eval import cer, evaluate, levenshtein, load_fixtures
+
+
+def test_levenshtein_and_cer():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert cer("こんにちは", "こんにちは") == 0.0
+    assert cer("こんにちわ", "こんにちは") == 0.2
+    assert cer("", "") == 0.0
+    assert cer("x", "") == 1.0
+
+
+def test_evaluate_reports():
+    fixtures = [
+        ("a", np.zeros((4, 4, 3), np.uint8), "hello"),
+        ("b", np.zeros((4, 4, 3), np.uint8), "world"),
+    ]
+
+    def fake_ocr(crops):
+        return ["hello", "w0rld"]
+
+    report = evaluate(fake_ocr, fixtures)
+    assert report["n"] == 2
+    assert report["exact_match"] == 0.5
+    assert report["mean_cer"] == round((0.0 + 0.2) / 2, 4)
+    assert report["items"][1]["hyp"] == "w0rld"
+
+
+def test_load_fixtures(tmp_path):
+    from PIL import Image
+
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "000.png")
+    (tmp_path / "000.txt").write_text("テスト", encoding="utf-8")
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "no_txt.png")
+    fx = load_fixtures(str(tmp_path))
+    assert len(fx) == 1
+    assert fx[0][0] == "000" and fx[0][2] == "テスト"
