@@ -108,6 +108,72 @@ def _fit_font(area: TypesetArea, draw, inner_w: int, inner_h: int):
     return font, _wrap_text(area.text, font, inner_w, draw), int(6 * 1.2)
 
 
+def _hex_to_rgb(color: str) -> tuple[int, int, int]:
+    color = color.lstrip("#")
+    return tuple(int(color[i : i + 2], 16) for i in (0, 2, 4))  # type: ignore[return-value]
+
+
+def _gradient_image(w: int, h: int, colors, angle_deg: float) -> Image.Image:
+    """Linear gradient across the layer at the given angle."""
+    c0 = _hex_to_rgb(colors[0] if colors else "#000000")
+    c1 = _hex_to_rgb(colors[1] if colors and len(colors) > 1 else "#ffffff")
+    theta = np.deg2rad(angle_deg)
+    dx, dy = np.cos(theta), np.sin(theta)
+    yy, xx = np.mgrid[0:h, 0:w]
+    proj = xx * dx + yy * dy
+    lo, hi = proj.min(), proj.max()
+    t = (proj - lo) / max(hi - lo, 1e-6)
+    grad = np.stack(
+        [(c0[i] * (1 - t) + c1[i] * t).astype(np.uint8) for i in range(3)], axis=-1
+    )
+    return Image.fromarray(grad)
+
+
+def _apply_gradient(layer: Image.Image, area: TypesetArea) -> Image.Image:
+    """Recolor the rendered glyphs with a linear gradient, keeping alpha
+    (the reference's QLinearGradient glyph fill, main_window.py:7252-7309)."""
+    grad = _gradient_image(
+        layer.width, layer.height, area.gradient_colors, area.gradient_angle
+    )
+    out = Image.new("RGBA", layer.size, (0, 0, 0, 0))
+    out.paste(grad, (0, 0), layer.getchannel("A"))
+    return out
+
+
+def _effect_offset(effect: str, frac: float, intensity: float, index: int) -> float:
+    """Per-character vertical offset along the line (curved/wavy/jagged —
+    the reference's Bézier/sine/alternating paths, main_window.py:7553-7706)."""
+    import math
+
+    if effect == "curved":
+        # parabola through the line: ends at 0, middle at -intensity
+        return -4.0 * intensity * frac * (1.0 - frac)
+    if effect == "wavy":
+        return intensity * math.sin(frac * 2.0 * math.pi)
+    if effect == "jagged":
+        return intensity if index % 2 else -intensity
+    return 0.0
+
+
+def _draw_effect_line(area, draw, line, font, x, y, inner_w, stroke):
+    """Per-glyph placement with the active effect's vertical displacement."""
+    total = max(draw.textlength(line, font=font), 1.0)
+    cx = x
+    for i, ch in enumerate(line):
+        frac = (cx - x) / total
+        dy = _effect_offset(area.effect, frac, area.effect_intensity, i)
+        draw.text(
+            (cx, y + dy),
+            ch,
+            font=font,
+            fill=area.color,
+            stroke_width=stroke,
+            stroke_fill=area.text_outline_color,
+        )
+        cx += draw.textlength(ch, font=font) + area.char_spacing
+    return cx
+
+
 def _draw_text_layer(area: TypesetArea, w: int, h: int) -> Image.Image:
     """Render the text (with outline) into a transparent RGBA layer sized to
     the area rect."""
@@ -119,6 +185,8 @@ def _draw_text_layer(area: TypesetArea, w: int, h: int) -> Image.Image:
 
     if area.orientation == "vertical":
         _draw_vertical(area, draw, layer, inner_w, inner_h, m)
+        if area.gradient_enabled:
+            layer = _apply_gradient(layer, area)
         return layer
 
     font, lines, line_h = _fit_font(area, draw, inner_w, inner_h)
@@ -133,18 +201,8 @@ def _draw_text_layer(area: TypesetArea, w: int, h: int) -> Image.Image:
             x = m.get("left", 0) + inner_w - tw
         else:
             x = m.get("left", 0) + (inner_w - tw) / 2
-        if area.char_spacing > 0:
-            cx = x
-            for ch in line:
-                draw.text(
-                    (cx, y),
-                    ch,
-                    font=font,
-                    fill=area.color,
-                    stroke_width=stroke,
-                    stroke_fill=area.text_outline_color,
-                )
-                cx += draw.textlength(ch, font=font) + area.char_spacing
+        if area.effect != "none" or area.char_spacing > 0:
+            _draw_effect_line(area, draw, line, font, x, y, inner_w, stroke)
         else:
             draw.text(
                 (x, y),
@@ -155,6 +213,8 @@ def _draw_text_layer(area: TypesetArea, w: int, h: int) -> Image.Image:
                 stroke_fill=area.text_outline_color,
             )
         y += line_h
+    if area.gradient_enabled:
+        layer = _apply_gradient(layer, area)
     return layer
 
 

@@ -125,3 +125,44 @@ def test_render_page_multiple_areas():
     ]
     out = render_page(page, areas)
     assert out.shape == page.shape
+
+
+def test_gradient_fill_changes_glyph_colors():
+    page = _page()
+    area = TypesetArea(
+        rect=Rect(10, 10, 180, 80),
+        text="GRADIENT",
+        gradient_enabled=True,
+        gradient_colors=["#ff0000", "#0000ff"],
+        gradient_angle=0.0,
+    )
+    out = draw_single_area(page, area, do_cleanup=False)
+    region = out[10:90, 10:190]
+    # text pixels exist and are not monochrome black: red-ish on the left,
+    # blue-ish on the right (BGR layout)
+    colored = region[(region.sum(-1) < 650) & (region.sum(-1) > 30)]
+    assert len(colored) > 0
+
+
+def test_text_effects_render():
+    page = _page()
+    for effect in ("curved", "wavy", "jagged"):
+        area = TypesetArea(
+            rect=Rect(10, 60, 180, 80),
+            text="WAVY TEXT",
+            effect=effect,
+            effect_intensity=6.0,
+        )
+        out = draw_single_area(page, area, do_cleanup=False)
+        assert (out[40:160, 10:190] < 100).any(), effect
+
+
+def test_effect_offsets():
+    from manga_ocr_tpu.typeset.render import _effect_offset
+
+    assert _effect_offset("curved", 0.0, 10, 0) == 0.0
+    assert _effect_offset("curved", 0.5, 10, 0) == -10.0
+    assert abs(_effect_offset("wavy", 0.25, 10, 0) - 10.0) < 1e-9
+    assert _effect_offset("jagged", 0.1, 5, 0) == -5
+    assert _effect_offset("jagged", 0.1, 5, 1) == 5
+    assert _effect_offset("none", 0.5, 10, 0) == 0.0
