@@ -21,6 +21,18 @@ from jax.experimental.pallas import tpu as pltpu
 VOCAB_TILE = 512
 
 
+def _erf(x: jax.Array) -> jax.Array:
+    """Polynomial erf (A&S 7.1.26) in f32 — Pallas-TPU-lowerable."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _head_kernel(
     x_ref,
     wt_ref,
@@ -46,7 +58,10 @@ def _head_kernel(
         )
         + bt_ref[0].astype(jnp.float32)[None, :]
     )
-    h = jax.nn.gelu(h, approximate=False)
+    # Exact-GELU via polynomial erf (Pallas TPU lowers neither erf nor
+    # erfc; Abramowitz–Stegun 7.1.26, |eps| <= 1.5e-7 — far below bf16
+    # resolution, argmax-equivalent to the exact head in tests).
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
     # layer norm (f32 statistics)
     mean = jnp.mean(h, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
