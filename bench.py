@@ -57,7 +57,9 @@ def main() -> None:
 
     cfg = MangaOCRConfig.base()
     params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    fn = mdl.make_jitted_ocr(cfg, max_length=MAX_NEW_TOKENS)
+    # Fixed-length workload (random weights never emit EOS): one decode
+    # chunk == the whole budget, no intermediate early-exit syncs.
+    fn = mdl.make_jitted_ocr(cfg, max_length=MAX_NEW_TOKENS, chunk_size=MAX_NEW_TOKENS)
 
     best = 0.0
     for b in BATCH_SIZES:

@@ -124,15 +124,28 @@ def ocr_forward(
     pixel_values: jax.Array,
     cfg: MangaOCRConfig,
     max_length: int | None = None,
+    chunk_size: int = 8,
 ) -> GreedyResult:
     """pixels [B, H, W, C] (normalized) -> greedy token ids.  Jittable."""
     enc_out = encode(params, pixel_values, cfg)
-    return greedy_decode(params, enc_out, cfg, max_length)
+    return greedy_decode(params, enc_out, cfg, max_length, chunk_size=chunk_size)
 
 
-def make_jitted_ocr(cfg: MangaOCRConfig, max_length: int | None = None, donate=False):
-    """Build the jitted batched OCR function (compile once per batch shape)."""
-    fn = functools.partial(ocr_forward, cfg=cfg, max_length=max_length)
+def make_jitted_ocr(
+    cfg: MangaOCRConfig,
+    max_length: int | None = None,
+    donate=False,
+    chunk_size: int = 8,
+):
+    """Build the jitted batched OCR function (compile once per batch shape).
+
+    ``chunk_size``: decode early-exit granularity — each chunk boundary
+    costs a ~1 ms loop-condition sync on the target runtime, so short
+    expected texts want small chunks and fixed-length workloads want
+    ``chunk_size == max_length``."""
+    fn = functools.partial(
+        ocr_forward, cfg=cfg, max_length=max_length, chunk_size=chunk_size
+    )
     return jax.jit(fn, donate_argnums=(1,) if donate else ())
 
 

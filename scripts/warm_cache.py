@@ -26,7 +26,10 @@ import bench
 def main() -> None:
     cfg = MangaOCRConfig.base()
     params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    fn = mdl.make_jitted_ocr(cfg, max_length=bench.MAX_NEW_TOKENS)
+    # Must mirror bench.py's jit arguments exactly or the cache misses.
+    fn = mdl.make_jitted_ocr(
+        cfg, max_length=bench.MAX_NEW_TOKENS, chunk_size=bench.MAX_NEW_TOKENS
+    )
     for b in bench.BATCH_SIZES:
         px = jax.jit(
             lambda k, bb=b: jax.random.normal(k, (bb, 224, 224, 3), jnp.bfloat16)
