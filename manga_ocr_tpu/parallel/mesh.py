@@ -35,7 +35,18 @@ def make_mesh(
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    need = n_data * n_model
+    if need <= 0:
+        raise ValueError(f"mesh needs a positive device count, got {n_data}x{n_model}")
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh ({n_data} data x {n_model} model) needs {need} devices but only "
+            f"{len(devices)} are visible; for a virtual mesh run under "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count={need}"
+        )
+    if len(devices) > need:
+        devices = devices[:need]
+    use = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(use, (DATA_AXIS, MODEL_AXIS))
 
 
