@@ -85,18 +85,22 @@ class TpuMangaOcrEngine:
 
     # -- jitted pipeline ----------------------------------------------------
 
-    def _bucket_fn(self, bucket_hw: tuple[int, int], orientation: int):
-        """One fused program: uint8 crops -> token ids (+lengths)."""
-        key = (bucket_hw, orientation)
+    def _bucket_fn(self, bucket_hw: tuple[int, int]):
+        """One fused program: uint8 crops (+ valid extents) -> token ids.
+
+        Orientation rotation happens host-side per crop (it depends on each
+        crop's real aspect ratio — ``batching.orient_crop``), so one compiled
+        program per bucket covers every orientation setting."""
+        key = bucket_hw
         fn = self._fns.get(key)
         if fn is None:
             cfg, max_len, dtype = self.cfg, self.max_length, self.dtype
 
             @jax.jit
-            def run(params, crops_u8):
+            def run(params, crops_u8, sizes):
                 pixels = pp.model_preprocess(
                     crops_u8,
-                    orientation=orientation,
+                    sizes=sizes,
                     image_size=cfg.encoder.image_size,
                 ).astype(dtype)
                 return mdl.ocr_forward(params, pixels, cfg, max_length=max_len)
@@ -115,23 +119,30 @@ class TpuMangaOcrEngine:
         """OCR every crop of a page: bucket, pad, dispatch once per bucket.
 
         ``orientation`` follows the reference's manga-ocr rule (default
-        Vertical for Japanese: rotate 90° CW when wider than tall)."""
+        Vertical for Japanese: rotate 90° CW when wider than tall), applied
+        host-side per crop on the REAL crop dims before bucketing."""
         if not len(crops):
             return []
-        batches = batching.bucket_crops([np.asarray(c, np.uint8) for c in crops])
+        oriented = [
+            batching.orient_crop(np.asarray(c, np.uint8), orientation) for c in crops
+        ]
+        batches = batching.bucket_crops(oriented)
         results_per_batch = []
         outs = []
         for b in batches:
-            fn = self._bucket_fn(b.bucket_hw, orientation)
-            arr = b.crops
+            fn = self._bucket_fn(b.bucket_hw)
+            arr, sizes = b.crops, b.sizes
             if arr.shape[0] % self._batch_multiple:
                 pad = self._batch_multiple - arr.shape[0] % self._batch_multiple
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+                sizes = np.concatenate([sizes, np.repeat(sizes[-1:], pad, axis=0)])
             if self._batch_sharding is not None:
                 device_arr = jax.device_put(arr, self._batch_sharding)
+                device_sizes = jax.device_put(sizes, self._batch_sharding)
             else:
                 device_arr = jnp.asarray(arr)
-            outs.append((b, fn(self.params, device_arr)))
+                device_sizes = jnp.asarray(sizes)
+            outs.append((b, fn(self.params, device_arr, device_sizes)))
         for b, out in outs:
             tokens = np.asarray(out.tokens[: b.valid])
             lengths = np.asarray(out.lengths[: b.valid])
@@ -139,30 +150,49 @@ class TpuMangaOcrEngine:
         return batching.scatter_results([b for b, _ in outs], results_per_batch)
 
     def ocr_page_dual(
-        self, crops: Sequence[np.ndarray], orientation: int = pp.ORIENT_VERTICAL
+        self,
+        crops: Sequence[np.ndarray],
+        orientation: int = pp.ORIENT_AUTO,
+        second_engine=None,
     ) -> list[tuple[str, str]]:
-        """Enhanced dual-pass (SURVEY §2.4 #29): raw + Otsu-preprocessed
-        variants of every crop decoded in the same padded dispatch; returns
-        (raw_text, preprocessed_text) per crop."""
+        """Enhanced dual-pass (SURVEY §2.4 #29; ``workers.py:383-420``):
+        the raw crop goes to Manga-OCR under the "Auto-Detect" orientation
+        rule (which applies no 90° rotation — the reference hardcodes it),
+        and a skew-corrected + equalized + Otsu-binarized variant goes to a
+        *second, decorrelated engine* — the reference uses Tesseract(jpn).
+        Pass that engine (any ``perform_ocr(img, settings)`` object) as
+        ``second_engine``; without one the preprocessed crop is decoded by
+        the same model (correlated failure modes — fallback only).
+
+        Returns (raw_text, second_text) per crop."""
         if not len(crops):
             return []
         crops = [np.asarray(c, np.uint8) for c in crops]
         # Binarize via the preprocessing graph in *bucketed* batches — a
         # per-crop call would compile one graph per distinct crop shape.
+        # Statistics are masked to each crop's valid region.
         pre_batches = batching.bucket_crops(crops)
         pre_results = []
         for b in pre_batches:
-            out, _ = pp.ocr_preprocess(jnp.asarray(b.crops), orientation=pp.ORIENT_AUTO)
+            out, _ = pp.ocr_preprocess(
+                jnp.asarray(b.crops),
+                orientation=pp.ORIENT_AUTO,
+                sizes=jnp.asarray(b.sizes),
+            )
             out = np.asarray(out[: b.valid])
-            pre_results.append(list(out))
-        pre_padded = batching.scatter_results(pre_batches, pre_results)
-        # crop each preprocessed image back to its original size
-        pre = [
-            p[: c.shape[0], : c.shape[1]] for p, c in zip(pre_padded, crops)
-        ]
-        both = self.ocr_page(list(crops) + pre, orientation)
-        n = len(crops)
-        return list(zip(both[:n], both[n:]))
+            pre_results.append(
+                [img[: hw[0], : hw[1]] for img, hw in zip(out, b.sizes[: b.valid])]
+            )
+        pre = batching.scatter_results(pre_batches, pre_results)
+        if second_engine is not None:
+            raw_texts = self.ocr_page(crops, orientation)
+            tess_settings = {"ocr_engine": "Tesseract", "ocr_lang": "jpn"}
+            second = [second_engine.perform_ocr(p, tess_settings) for p in pre]
+        else:
+            # one padded dispatch for both variants
+            both = self.ocr_page(list(crops) + pre, orientation)
+            raw_texts, second = both[: len(crops)], both[len(crops):]
+        return list(zip(raw_texts, second))
 
     # -- reference-compatible single-crop entry -------------------------------
 
@@ -179,14 +209,24 @@ class TpuMangaOcrEngine:
         except Exception as e:  # contract: errors become sentinel strings
             return _err(f"{type(e).__name__}: {e}")
 
-    def warmup(self, bucket_hws: Sequence[tuple[int, int]] | None = None) -> None:
-        """Pre-compile the common bucket shapes (compile-once discipline)."""
+    def warmup(
+        self,
+        bucket_hws: Sequence[tuple[int, int]] | None = None,
+        batch_sizes: Sequence[int] | None = None,
+    ) -> None:
+        """Pre-compile bucket x batch shapes (compile-once discipline).
+
+        Orientation is host-side, so (bucket, batch) fully enumerates the
+        reachable compiled programs of ``ocr_page``; warming every bucket of
+        ``DEFAULT_BUCKETS`` against the batch schedule covers serving."""
         default = ((128, 128), (256, 128), (128, 256), (256, 256))
         for hw in bucket_hws or default:
-            n = batching.BATCH_SCHEDULE[0]
-            dummy = jnp.zeros((n, hw[0], hw[1], 3), jnp.uint8)
-            fn = self._bucket_fn(hw, pp.ORIENT_VERTICAL)
-            jax.block_until_ready(fn(self.params, dummy).tokens)
+            for n in batch_sizes or batching.BATCH_SCHEDULE[:1]:
+                dummy = np.zeros((n, hw[0], hw[1], 3), np.uint8)
+                sizes = np.full((n, 2), hw, np.int32)
+                fn = self._bucket_fn(hw)
+                out = fn(self.params, jnp.asarray(dummy), jnp.asarray(sizes))
+                np.asarray(out.lengths)  # host readback forces completion
 
 
 def _orientation_from_settings(settings: dict | None) -> int:

@@ -59,25 +59,44 @@ def gray_to_bgr(gray: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _hist256(gray_u8: jax.Array) -> jax.Array:
-    """Per-image 256-bin histogram. gray: [B, H, W] uint8 -> [B, 256] int32."""
+def _hist256(gray_u8: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """Per-image 256-bin histogram. gray: [B, H, W] uint8 -> [B, 256] int32.
 
-    def one(img):
-        return jnp.zeros((256,), jnp.int32).at[img.ravel().astype(jnp.int32)].add(1)
+    ``mask`` ([B, H, W], nonzero = counted) restricts the histogram to the
+    valid region — crops live padded inside fixed shape buckets and their
+    statistics must not include padding pixels (reference computes stats on
+    the exact crop, ``main_window.py:4204``)."""
 
-    return jax.vmap(one)(gray_u8)
+    def one(img, m):
+        return jnp.zeros((256,), jnp.int32).at[img.ravel().astype(jnp.int32)].add(m.ravel())
+
+    if mask is None:
+        mask = jnp.ones(gray_u8.shape, jnp.int32)
+    return jax.vmap(one)(gray_u8, mask.astype(jnp.int32))
 
 
-def equalize_hist_u8(gray: jax.Array) -> jax.Array:
+def valid_mask(shape: tuple, sizes: jax.Array) -> jax.Array:
+    """[B, H, W] bool mask of the valid (unpadded) region per crop.
+
+    ``sizes``: [B, 2] int32 (h, w) valid extents."""
+    b, h, w = shape[:3]
+    yy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    return (yy < sizes[:, 0, None, None]) & (xx < sizes[:, 1, None, None])
+
+
+def equalize_hist_u8(gray: jax.Array, mask: jax.Array | None = None) -> jax.Array:
     """cv2.equalizeHist for a batch [B, H, W] uint8.
 
     LUT: find the first occupied bin i0; scale = 255/(N - hist[i0]);
     lut[i] = round(cumsum(hist[i0+1..i]) * scale), lut[<=i0] = 0.
     Degenerate single-bin images pass through unchanged (cv2 behavior).
+    ``mask`` restricts the LUT statistics to the valid region (the LUT is
+    still applied everywhere; callers crop padding away afterwards).
     """
     b, h, w = gray.shape
-    n = h * w
-    hist = _hist256(gray)  # [B, 256]
+    hist = _hist256(gray, mask)  # [B, 256]
+    n = jnp.sum(hist, axis=1)  # [B] valid-pixel count
     cdf = jnp.cumsum(hist, axis=1)
     # first nonzero bin and its count
     i0 = jnp.argmax(hist > 0, axis=1)  # [B]
@@ -91,12 +110,13 @@ def equalize_hist_u8(gray: jax.Array) -> jax.Array:
     return jnp.where(degenerate[:, None, None], gray, out)
 
 
-def otsu_threshold(gray: jax.Array) -> jax.Array:
+def otsu_threshold(gray: jax.Array, mask: jax.Array | None = None) -> jax.Array:
     """Otsu threshold per image. [B, H, W] uint8 -> [B] float32 thresholds.
 
     Maximizes between-class variance; ties resolve to the first maximum
-    (matching cv2's ascending scan with strict > update)."""
-    hist = _hist256(gray).astype(jnp.float32)  # [B, 256]
+    (matching cv2's ascending scan with strict > update).  ``mask`` restricts
+    the histogram to the valid region of padded crops."""
+    hist = _hist256(gray, mask).astype(jnp.float32)  # [B, 256]
     n = jnp.sum(hist, axis=1, keepdims=True)
     p = hist / n
     bins = jnp.arange(256, dtype=jnp.float32)
@@ -116,8 +136,8 @@ def threshold_binary(gray: jax.Array, thresh: jax.Array) -> jax.Array:
     )
 
 
-def otsu_binarize(gray: jax.Array) -> jax.Array:
-    return threshold_binary(gray, otsu_threshold(gray))
+def otsu_binarize(gray: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    return threshold_binary(gray, otsu_threshold(gray, mask))
 
 
 # ---------------------------------------------------------------------------
@@ -125,17 +145,41 @@ def otsu_binarize(gray: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def gaussian_blur3_u8(gray: jax.Array) -> jax.Array:
+def gaussian_blur3_u8(gray: jax.Array, sizes: jax.Array | None = None) -> jax.Array:
     """cv2.GaussianBlur(ksize=(3,3), sigma=0) on uint8 [B, H, W].
 
     cv2 uses the fixed small kernel [1,2,1]/4 separably with REFLECT_101
-    borders and round-half-away rounding on the uint8 path."""
+    borders and round-half-away rounding on the uint8 path.
+
+    ``sizes`` ([B, 2] valid (h, w)): reflect at each crop's VALID boundary,
+    not the bucket edge, so blurred valid pixels match blurring the exact
+    unpadded crop (the reference blurs exact crops)."""
     x = gray.astype(jnp.float32)
-    # REFLECT_101 pad: edge-adjacent pixel mirrored (a b c -> b | a b c | b)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="reflect")
-    x = (xp[:, :-2, :] + 2.0 * xp[:, 1:-1, :] + xp[:, 2:, :]) * 0.25
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="reflect")
-    x = (xp[:, :, :-2] + 2.0 * xp[:, :, 1:-1] + xp[:, :, 2:]) * 0.25
+    b, h, w = x.shape
+    if sizes is None:
+        # REFLECT_101 pad: edge-adjacent pixel mirrored (a b c -> b | a b c | b)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), mode="reflect")
+        x = (xp[:, :-2, :] + 2.0 * xp[:, 1:-1, :] + xp[:, 2:, :]) * 0.25
+        xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)), mode="reflect")
+        x = (xp[:, :, :-2] + 2.0 * xp[:, :, 1:-1] + xp[:, :, 2:]) * 0.25
+    else:
+        def reflect_idx(n: int, valid):
+            i = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, n]
+            v = valid.astype(jnp.int32)[:, None]  # [B, 1]
+            up = jnp.minimum(jnp.abs(i - 1), jnp.maximum(v - 1, 0))
+            dn = jnp.where(i + 1 < v, i + 1, jnp.maximum(v - 2, 0))
+            return up, dn
+
+        up, dn = reflect_idx(h, sizes[:, 0])
+        take_h = lambda idx: jnp.take_along_axis(
+            x, jnp.broadcast_to(idx[:, :, None], (b, h, w)), axis=1
+        )
+        x = (take_h(up) + 2.0 * x + take_h(dn)) * 0.25
+        up, dn = reflect_idx(w, sizes[:, 1])
+        take_w = lambda idx: jnp.take_along_axis(
+            x, jnp.broadcast_to(idx[:, None, :], (b, h, w)), axis=2
+        )
+        x = (take_w(up) + 2.0 * x + take_w(dn)) * 0.25
     return jnp.clip(jnp.floor(x + 0.5), 0, 255).astype(jnp.uint8)
 
 
@@ -174,15 +218,27 @@ def rotate_image(
     gray: jax.Array,
     angle_deg: jax.Array,
     interpolation: str = "cubic",
+    sizes: jax.Array | None = None,
 ) -> jax.Array:
     """Rotate [B, H, W] float/uint8 images about their center by per-image
     angles (degrees, CCW-positive like cv2.getRotationMatrix2D), sampling
-    with BORDER_REPLICATE.  Output dtype matches input (uint8 rounds)."""
+    with BORDER_REPLICATE.  Output dtype matches input (uint8 rounds).
+
+    ``sizes`` ([B, 2] valid (h, w) extents): rotate each padded crop about
+    the center of its *valid* region — the reference rotates the exact crop
+    about its own center (``main_window.py:4204``)."""
     b, h, w = gray.shape
     x = gray.astype(jnp.float32)
     theta = jnp.deg2rad(angle_deg.astype(jnp.float32))  # [B]
     cos, sin = jnp.cos(theta), jnp.sin(theta)
-    cx, cy = (w // 2), (h // 2)  # cv2 center convention used by the reference
+    if sizes is None:
+        # cv2 center convention used by the reference
+        cx = jnp.full((b,), w // 2, jnp.float32)
+        cy = jnp.full((b,), h // 2, jnp.float32)
+    else:
+        cx = (sizes[:, 1] // 2).astype(jnp.float32)
+        cy = (sizes[:, 0] // 2).astype(jnp.float32)
+    cx, cy = cx[:, None, None], cy[:, None, None]
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )
@@ -283,12 +339,52 @@ def resize_bilinear(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
     return x
 
 
+def _triangle_matrix_dynamic(valid: jax.Array, full: int, out: int) -> jax.Array:
+    """Per-image triangle-filter matrices [B, out, full]: resize the first
+    ``valid[b]`` source pixels to ``out`` taps, same weights as
+    ``_triangle_resize_matrix`` but built in-graph from per-crop extents
+    (broadcasted iota + elementwise math — fuses into the matmul epilogue).
+    """
+    v = jnp.maximum(valid.astype(jnp.float32), 1.0)[:, None, None]  # [B,1,1]
+    scale = v / float(out)
+    support = jnp.maximum(scale, 1.0)
+    o = jnp.arange(out, dtype=jnp.float32)[None, :, None]
+    s = jnp.arange(full, dtype=jnp.float32)[None, None, :]
+    center = (o + 0.5) * scale
+    w = 1.0 - jnp.abs((s + 0.5) - center) / support
+    w = jnp.clip(w, 0.0, None) * (s < v)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    return w / jnp.maximum(wsum, 1e-30)
+
+
+def resize_bilinear_valid(
+    gray: jax.Array, sizes: jax.Array, out_h: int, out_w: int
+) -> jax.Array:
+    """Antialiased per-crop valid-region resize for bucket-padded batches.
+
+    ``gray``: [B, H, W]; ``sizes``: [B, 2] int32 valid (h, w) per crop.
+    Each crop's valid region (not the padded bucket) is resized to
+    (out_h, out_w) — numerically identical to ``resize_bilinear`` on the
+    exact unpadded crop.  This is the fix for the model-input divergence of
+    resizing whole padded buckets: the reference resizes the raw crop
+    directly (manga_ocr pip preprocessing; SURVEY §2.2 #10).
+
+    Two batched matmuls (MXU work); the per-crop filter matrices are cheap
+    elementwise constructions.  Returns float32 [B, out_h, out_w]."""
+    x = gray.astype(jnp.float32)
+    b, h, w = x.shape
+    mh = _triangle_matrix_dynamic(sizes[:, 0], h, out_h)  # [B, out_h, H]
+    mw = _triangle_matrix_dynamic(sizes[:, 1], w, out_w)  # [B, out_w, W]
+    x = jnp.einsum("boh,bhw->bow", mh, x)
+    return jnp.einsum("bow,bpw->bop", x, mw)
+
+
 # ---------------------------------------------------------------------------
 # Orientation (moment PCA reformulation of the reference's minAreaRect angle)
 # ---------------------------------------------------------------------------
 
 
-def orientation_angle_moments(gray: jax.Array) -> jax.Array:
+def orientation_angle_moments(gray: jax.Array, valid: jax.Array | None = None) -> jax.Array:
     """Estimate per-image text-skew angle from the dark-pixel distribution.
 
     The reference takes cv2.minAreaRect over all pixels with gray < 255 and
@@ -296,10 +392,13 @@ def orientation_angle_moments(gray: jax.Array) -> jax.Array:
     data-dependent shapes), so on TPU we use the principal-axis angle of the
     same pixel set's second central moments.  Returns degrees in (-90, 90],
     where positive = CCW skew (to be passed to ``rotate_image`` directly,
-    which rotates CCW-positive like cv2).
+    which rotates CCW-positive like cv2).  ``valid`` ([B, H, W]) excludes
+    bucket-padding pixels from the moment sums.
     """
     b, h, w = gray.shape
     mask = (gray < 255).astype(jnp.float32)
+    if valid is not None:
+        mask = mask * valid.astype(jnp.float32)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
     )

@@ -3,17 +3,20 @@
 Two pipelines, mirroring the reference's two crop-preparation rules
 (SURVEY §2.4 #28):
 
-1. ``model_preprocess`` — the manga-ocr input path: raw crop, optional
-   orientation-only 90° rotation (``workers.py:318-327``), then the pip
-   package's grayscale→RGB→resize(224)→rescale→normalize(0.5/0.5).
-   Output feeds ``models.model.encode`` directly; emitted in the
-   TPU-friendly flattened [B, 224, 224*3] layout is NOT needed because the
-   encoder's patch embed consumes [B, H, W, C] and XLA lays it out after
-   fusion with the resize (all one program).
+1. ``model_preprocess`` — the manga-ocr input path: the pip package's
+   grayscale→RGB→resize(224)→rescale→normalize(0.5/0.5) applied to each
+   crop's *valid region* inside its padded bucket.  The reference feeds the
+   raw crop (orientation-rotated on the host, ``workers.py:318-327``)
+   directly into the resize; ``sizes`` carries the real per-crop (h, w) so
+   the resize samples only real pixels, never bucket padding.  Orientation
+   rotation happens host-side per crop (``parallel.batching.orient_crop``)
+   because the rule depends on the crop's own aspect ratio, which the padded
+   bucket shape does not preserve.
 
 2. ``ocr_preprocess`` — the Latin-engine path (``main_window.py:4204``):
    gray → skew detect → corrective rotation → equalizeHist → Gaussian(3,3)
-   → Otsu → BGR.
+   → Otsu → BGR, with all statistics (moments/histogram/threshold) computed
+   over the valid region only.
 
 Both are batched over crops with static shapes; callers bucket crops by
 padded size (see ``parallel/batching.py``).
@@ -28,54 +31,68 @@ import jax.numpy as jnp
 
 from manga_ocr_tpu.ops import image as im
 
-# Orientation modes (reference settings values)
+# Orientation modes (reference settings values).  Rotation itself is applied
+# host-side per crop (see parallel.batching.orient_crop); these constants
+# select the rule.
 ORIENT_AUTO = 0  # "Auto-Detect": skew correction from pixel moments
 ORIENT_VERTICAL = 1  # rotate 90 CW when wider than tall
 ORIENT_HORIZONTAL = 2  # rotate 90 CCW when taller than wide
 ORIENT_NONE = 3
 
 
-def _orientation_rot90(crops_u8: jax.Array, orientation: int) -> jax.Array:
-    """Whole-batch static 90° orientation rule.  The reference applies
-    `Vertical & w>h -> CW` / `Horizontal & h>w -> CCW` per crop; with bucketed
-    static shapes the w/h comparison is static per bucket."""
-    b, h, w = crops_u8.shape[:3]
-    if orientation == ORIENT_VERTICAL and w > h:
-        return im.rot90_cw(crops_u8)
-    if orientation == ORIENT_HORIZONTAL and h > w:
-        return im.rot90_ccw(crops_u8)
-    return crops_u8
-
-
-@functools.partial(jax.jit, static_argnames=("orientation", "image_size"))
+@functools.partial(jax.jit, static_argnames=("image_size",))
 def model_preprocess(
     crops_u8: jax.Array,
-    orientation: int = ORIENT_NONE,
+    sizes: jax.Array | None = None,
     image_size: int = 224,
 ) -> jax.Array:
-    """[B, H, W, 3] uint8 BGR crops -> [B, S, S, 3] float32 normalized pixels
-    ready for the ViT encoder (the manga-ocr input contract)."""
-    x = _orientation_rot90(crops_u8, orientation)
-    gray = im.bgr_to_gray_u8(x)  # convert("L")
-    rgb = im.gray_to_bgr(gray)  # convert("RGB") — channels equal
-    resized = im.resize_bilinear(rgb, image_size, image_size)  # float32
-    return (resized / 255.0 - 0.5) / 0.5
+    """[B, H, W, 3] uint8 BGR bucket-padded crops -> [B, S, S, 3] float32
+    normalized pixels ready for the ViT encoder (the manga-ocr input
+    contract).  ``sizes``: [B, 2] int32 valid (h, w) extents; None means
+    every crop exactly fills the bucket.
+
+    Grayscale happens before the resize (``convert("L")`` then
+    ``convert("RGB")`` makes all channels equal, so resizing one channel and
+    broadcasting is numerically identical and 3x cheaper)."""
+    gray = im.bgr_to_gray_u8(crops_u8)  # convert("L"), [B, H, W]
+    if sizes is None:
+        b, h, w = gray.shape
+        sizes = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32), (b, 2))
+    resized = im.resize_bilinear_valid(gray, sizes, image_size, image_size)
+    norm = (resized / 255.0 - 0.5) / 0.5
+    return jnp.repeat(norm[..., None], 3, axis=-1)  # convert("RGB")
 
 
 @functools.partial(jax.jit, static_argnames=("orientation",))
-def ocr_preprocess(crops_u8: jax.Array, orientation: int = ORIENT_AUTO):
+def ocr_preprocess(
+    crops_u8: jax.Array,
+    orientation: int = ORIENT_AUTO,
+    sizes: jax.Array | None = None,
+):
     """[B, H, W, 3] uint8 BGR -> (processed [B, H, W, 3] uint8 BGR binarized,
-    angles [B] float32): the reference's Latin-OCR preprocessing."""
+    angles [B] float32): the reference's Latin-OCR preprocessing.
+
+    ``sizes``: [B, 2] valid (h, w) per bucket-padded crop — skew moments,
+    equalizeHist LUT and the Otsu threshold are computed over the valid
+    region only (the reference preprocesses the exact crop), and rotation is
+    about the valid region's center.  Callers crop the output back to the
+    valid extent."""
     gray = im.bgr_to_gray_u8(crops_u8)
     b, h, w = gray.shape
+    mask = None if sizes is None else im.valid_mask(gray.shape, sizes)
     if orientation == ORIENT_AUTO:
-        angles = im.normalize_skew_angle(im.orientation_angle_moments(gray))
-    elif orientation == ORIENT_VERTICAL and w > h:
-        angles = jnp.full((b,), 90.0, jnp.float32)
+        angles = im.normalize_skew_angle(im.orientation_angle_moments(gray, mask))
+    elif orientation == ORIENT_VERTICAL:
+        # Per-crop rule on real extents: rotate 90 when wider than tall.
+        if sizes is None:
+            wide = jnp.full((b,), w > h)
+        else:
+            wide = sizes[:, 1] > sizes[:, 0]
+        angles = jnp.where(wide, 90.0, 0.0).astype(jnp.float32)
     else:
         angles = jnp.zeros((b,), jnp.float32)
-    rotated = im.rotate_image(gray, angles, interpolation="cubic")
-    eq = im.equalize_hist_u8(rotated)
-    blurred = im.gaussian_blur3_u8(eq)
-    binary = im.otsu_binarize(blurred)
+    rotated = im.rotate_image(gray, angles, interpolation="cubic", sizes=sizes)
+    eq = im.equalize_hist_u8(rotated, mask)
+    blurred = im.gaussian_blur3_u8(eq, sizes)
+    binary = im.otsu_binarize(blurred, mask)
     return im.gray_to_bgr(binary), angles

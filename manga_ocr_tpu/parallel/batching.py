@@ -65,17 +65,47 @@ def pad_batch_size(n: int, schedule: Sequence[int] = BATCH_SCHEDULE) -> int:
     return ((n + top - 1) // top) * top
 
 
+def orient_crop(crop: np.ndarray, orientation: int) -> np.ndarray:
+    """The reference's per-crop orientation rule on the REAL crop dims
+    (``workers.py:318-327``): Vertical & w>h -> 90° CW; Horizontal & h>w ->
+    90° CCW.  Host-side because the rule depends on each crop's own aspect
+    ratio, which padded bucket shapes do not preserve.
+
+    orientation: preprocess.ORIENT_* constant."""
+    h, w = crop.shape[:2]
+    if orientation == 1 and w > h:  # ORIENT_VERTICAL -> ROTATE_90_CLOCKWISE
+        return np.ascontiguousarray(np.rot90(crop, k=-1))
+    if orientation == 2 and h > w:  # ORIENT_HORIZONTAL -> ROTATE_90_COUNTERCLOCKWISE
+        return np.ascontiguousarray(np.rot90(crop, k=1))
+    return crop
+
+
+def fit_within(crop: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Downscale a crop (preserving aspect) to fit inside (bh, bw).
+
+    Oversized crops must not be truncated — text past the bucket edge would
+    be silently discarded.  The model path resamples to 224 anyway, so one
+    antialiased host downscale for the rare giant crop is benign."""
+    h, w = crop.shape[:2]
+    if h <= bh and w <= bw:
+        return crop
+    from PIL import Image
+
+    s = min(bh / h, bw / w)
+    nh, nw = max(1, int(h * s)), max(1, int(w * s))
+    img = Image.fromarray(crop)
+    return np.asarray(img.resize((nw, nh), Image.BILINEAR))
+
+
 def pad_crop_to(crop: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Edge-replicate pad a [h, w, 3] uint8 crop to [bh, bw, 3].
 
-    Edge replication (not zero/white fill) keeps the resized image statistics
-    close to the unpadded crop's — white fill would be fine for typical manga
-    but replicate is neutral across art styles."""
+    Edge replication (not zero/white fill) keeps border sampling benign for
+    ops that read past the valid region (rotation); model statistics are
+    computed over the valid region only (``sizes`` bookkeeping)."""
     h, w = crop.shape[:2]
     if h > bh or w > bw:
-        # downscale-free guard: center-crop oversized inputs (callers should
-        # have picked a fitting bucket; this is a safety net)
-        crop = crop[:bh, :bw]
+        crop = fit_within(crop, bh, bw)
         h, w = crop.shape[:2]
     return np.pad(crop, ((0, bh - h), (0, bw - w), (0, 0)), mode="edge")
 
@@ -88,15 +118,23 @@ class BucketedBatch:
     crops: np.ndarray  # [B_padded, bh, bw, 3] uint8
     indices: list[int]  # original crop index per valid row
     valid: int  # number of real rows (rest are padding)
+    sizes: np.ndarray = None  # [B_padded, 2] int32 valid (h, w) per row
 
 
 def bucket_crops(
     crops: Sequence[np.ndarray],
     buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
 ) -> list[BucketedBatch]:
-    """Group variable-size crops into padded fixed-shape batches."""
+    """Group variable-size crops into padded fixed-shape batches.
+
+    Every batch carries per-row valid (h, w) extents so downstream graphs
+    (resize, histogram stats) operate on real pixels only — padding never
+    leaks into model inputs.  Crops larger than the largest bucket are
+    downscaled to fit (never truncated)."""
+    max_hw = max(buckets, key=lambda b: b[0] * b[1])
+    fitted = [fit_within(np.ascontiguousarray(c), *max_hw) for c in crops]
     groups: dict[tuple[int, int], list[int]] = {}
-    for i, crop in enumerate(crops):
+    for i, crop in enumerate(fitted):
         hw = pick_bucket(crop.shape[0], crop.shape[1], buckets)
         groups.setdefault(hw, []).append(i)
 
@@ -106,11 +144,16 @@ def bucket_crops(
         n = len(idxs)
         bn = pad_batch_size(n)
         arr = np.zeros((bn, bh, bw, 3), np.uint8)
+        sizes = np.full((bn, 2), (bh, bw), np.int32)
         for row, i in enumerate(idxs):
-            arr[row] = pad_crop_to(np.ascontiguousarray(crops[i]), bh, bw)
+            arr[row] = pad_crop_to(fitted[i], bh, bw)
+            sizes[row] = fitted[i].shape[:2]
         if bn > n:
-            arr[n:] = arr[n - 1] if n else 0  # repeat last row as batch padding
-        out.append(BucketedBatch(hw, arr, idxs, n))
+            # repeat last row (content and extents) as batch padding
+            arr[n:] = arr[n - 1] if n else 0
+            if n:
+                sizes[n:] = sizes[n - 1]
+        out.append(BucketedBatch(hw, arr, idxs, n, sizes))
     return out
 
 
