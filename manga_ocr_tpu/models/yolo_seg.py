@@ -6,17 +6,21 @@ main_window.py:6817-6841``): per-instance masks are OR-ed into one
 full-image 0/255 bubble mask.  This module implements the architecture
 natively (config-scalable n/s/m widths):
 
-- backbone: Conv(stride 2) stem, C2f stages, SPPF,
-- neck: top-down + bottom-up PAN over P3/P4/P5,
-- heads: anchor-free decoupled box (DFL over reg_max bins) + class + mask
-  coefficients, and a proto net on P3 producing mask bases,
+- backbone: Conv(stride 2) stem, C2f stages (residual bottlenecks), SPPF,
+- neck: top-down + bottom-up PAN over P3/P4/P5 (C2f without shortcuts),
+- heads: anchor-free decoupled branches per level — box (DFL over reg_max
+  bins), class, and mask coefficients — plus a proto net on P3 (conv,
+  2x2-stride-2 transposed conv, conv, conv) producing mask bases,
 - inference: batched jitted forward; box decode + NMS + proto⊗coeff mask
   assembly on the host (data-dependent shapes).
 
-BatchNorm is represented pre-folded (conv bias), matching deployed
-checkpoints.  Weights load from an ``.npz`` pytree (``save/load_params``
-pattern shared with ``models/detector.py``); the torch-weights converter is
-tracked in docs/PARITY.md.
+The module structure, channel rules (box c2 = max(16, P3//4, 4*reg_max);
+cls c3 = max(P3, min(nc, 100)); coeff c4 = max(P3//4, num_masks)) and
+stride-2 padding (symmetric k//2, torch convention) correspond 1:1 to the
+deployed YOLOv8-seg checkpoints, so real weights convert exactly
+(``models/convert_yolo.py`` folds BatchNorm into conv kernel+bias; parity
+test: ``tests/test_convert_yolo.py``).  Weights load from an ``.npz``
+pytree (``save/load_params`` pattern shared with ``models/detector.py``).
 """
 
 from __future__ import annotations
@@ -48,11 +52,16 @@ def silu(x):
 
 
 def _conv(x, p, stride=1):
+    """Conv with torch's symmetric k//2 padding (NOT XLA "SAME": for
+    stride 2 XLA pads asymmetrically, which would shift every feature map
+    half a pixel vs the torch checkpoints)."""
+    k = p["kernel"].shape[0]
+    pad = k // 2
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y + p["bias"].astype(x.dtype)
@@ -62,18 +71,30 @@ def _conv_silu(x, p, stride=1):
     return silu(_conv(x, p, stride))
 
 
+def _conv_transpose2x2(x, p):
+    """torch ConvTranspose2d(k=2, s=2, p=0): exact scatter formulation —
+    out[2i+u, 2j+v, o] = sum_c x[i,j,c] * W[u,v,c,o] + b."""
+    b, h, w, c = x.shape
+    k = p["kernel"].astype(x.dtype)  # [2, 2, C, O]
+    y = jnp.einsum("bhwc,uvco->bhuwvo", x, k)
+    y = y.reshape(b, h * 2, w * 2, k.shape[-1])
+    return y + p["bias"].astype(x.dtype)
+
+
 def _bottleneck(x, p, shortcut=True):
     y = _conv_silu(x, p["cv1"])
     y = _conv_silu(y, p["cv2"])
     return x + y if shortcut and x.shape == y.shape else y
 
 
-def _c2f(x, p):
+def _c2f(x, p, shortcut=True):
+    """YOLOv8 C2f; backbone stages use residual bottlenecks, neck stages
+    pass shortcut=False (the checkpoints' structure)."""
     y = _conv_silu(x, p["cv1"])
     a, b = jnp.split(y, 2, axis=-1)
     outs = [a, b]
     for bp in p["m"]:
-        outs.append(_bottleneck(outs[-1], bp))
+        outs.append(_bottleneck(outs[-1], bp, shortcut))
     return _conv_silu(jnp.concatenate(outs, axis=-1), p["cv2"])
 
 
@@ -109,27 +130,41 @@ def forward(params: dict, images: jax.Array, cfg: YoloSegConfig):
     x = _conv_silu(p4, params["down4"], stride=2)  # /32
     p5 = _sppf(_c2f(x, params["c2f4"]), params["sppf"])
 
-    # top-down
-    u4 = _c2f(jnp.concatenate([_upsample2(p5), p4], -1), params["n_td4"])
-    u3 = _c2f(jnp.concatenate([_upsample2(u4), p3], -1), params["n_td3"])
+    # top-down (neck C2f: shortcut=False, matching the checkpoints)
+    u4 = _c2f(jnp.concatenate([_upsample2(p5), p4], -1), params["n_td4"], False)
+    u3 = _c2f(jnp.concatenate([_upsample2(u4), p3], -1), params["n_td3"], False)
     # bottom-up
     d4 = _c2f(
         jnp.concatenate([_conv_silu(u3, params["n_bu3"], stride=2), u4], -1),
         params["n_bu4"],
+        False,
     )
     d5 = _c2f(
         jnp.concatenate([_conv_silu(d4, params["n_bu4c"], stride=2), p5], -1),
         params["n_bu5"],
+        False,
     )
 
-    protos = _conv_silu(_upsample2(_conv_silu(u3, params["proto1"])), params["proto2"])
-    protos = _conv(protos, params["proto3"])  # [B, s/4, s/4, nm]
+    # Proto: conv -> 2x2/s2 transposed conv -> conv -> conv (all SiLU)
+    pr = params["proto"]
+    protos = _conv_silu(u3, pr["cv1"])
+    protos = _conv_transpose2x2(protos, pr["up"])
+    protos = _conv_silu(protos, pr["cv2"])
+    protos = _conv_silu(protos, pr["cv3"])  # [B, s/4, s/4, nm]
 
-    no = 4 * cfg.reg_max + cfg.num_classes + cfg.num_masks
+    def _branch(feat, bp):
+        y = _conv_silu(feat, bp["c1"])
+        y = _conv_silu(y, bp["c2"])
+        return _conv(y, bp["out"])  # plain conv (bias, no BN/act)
+
     preds = []
-    for feat, head in ((u3, "head3"), (d4, "head4"), (d5, "head5")):
-        y = _conv(_conv_silu(feat, params[head]["cv"]), params[head]["out"])
-        b, gh, gw, _ = y.shape
+    hp = params["heads"]
+    for i, feat in enumerate((u3, d4, d5)):
+        box = _branch(feat, hp["box"][i])
+        cls = _branch(feat, hp["cls"][i])
+        cf = _branch(feat, hp["coeff"][i])
+        y = jnp.concatenate([box, cls, cf], axis=-1)
+        b, gh, gw, no = y.shape
         preds.append(y.reshape(b, gh * gw, no))
     return jnp.concatenate(preds, axis=1), protos
 
@@ -276,8 +311,15 @@ def init_params(cfg: YoloSegConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     w = cfg.width
     d = cfg.depth
     nm, nc, rm = cfg.num_masks, cfg.num_classes, cfg.reg_max
-    no = 4 * rm + nc + nm
-    hc = max(w[2], 64)
+    # Checkpoint channel rules (Detect/Segment head defaults)
+    c2 = max(16, w[2] // 4, 4 * rm)  # box branch
+    c3 = max(w[2], min(nc, 100))  # cls branch
+    c4 = max(w[2] // 4, nm)  # mask-coeff branch
+    cp = w[2]  # proto hidden channels (256 x width multiplier == P3 width)
+
+    def branch_p(cin, mid, cout):
+        return {"c1": conv_p(cin, mid), "c2": conv_p(mid, mid), "out": conv_p(mid, cout, 1)}
+
     return {
         "stem": conv_p(3, w[0]),
         "down1": conv_p(w[0], w[1]),
@@ -295,12 +337,22 @@ def init_params(cfg: YoloSegConfig, key: jax.Array, dtype=jnp.float32) -> dict:
         "n_bu4": c2f_p(w[2] + w[3], w[3], d[0]),
         "n_bu4c": conv_p(w[3], w[3]),
         "n_bu5": c2f_p(w[3] + w[4], w[4], d[0]),
-        "proto1": conv_p(w[2], hc),
-        "proto2": conv_p(hc, hc),
-        "proto3": conv_p(hc, nm, 1),
-        "head3": {"cv": conv_p(w[2], hc), "out": conv_p(hc, no, 1)},
-        "head4": {"cv": conv_p(w[3], hc), "out": conv_p(hc, no, 1)},
-        "head5": {"cv": conv_p(w[4], hc), "out": conv_p(hc, no, 1)},
+        "proto": {
+            "cv1": conv_p(w[2], cp),
+            "up": {
+                "kernel": (
+                    jax.random.normal(next(kiter), (2, 2, cp, cp), jnp.float32) * 0.05
+                ).astype(dtype),
+                "bias": jnp.zeros((cp,), dtype),
+            },
+            "cv2": conv_p(cp, cp),
+            "cv3": conv_p(cp, nm, 1),
+        },
+        "heads": {
+            "box": [branch_p(w[2 + i], c2, 4 * rm) for i in range(3)],
+            "cls": [branch_p(w[2 + i], c3, nc) for i in range(3)],
+            "coeff": [branch_p(w[2 + i], c4, nm) for i in range(3)],
+        },
     }
 
 

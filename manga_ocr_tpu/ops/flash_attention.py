@@ -123,6 +123,106 @@ def fused_attention(
     return out[:, :s, :].reshape(b, h, s, dh)
 
 
+def _packed_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float, heads: int, dh: int
+):
+    """All heads of ``g`` batch items per program, operating directly on the
+    projection output layout [g, Sp, H*dh] — no [B,H,S,dh] head transpose
+    ever materializes in HBM (PERF.md round-1: relayouts, not FLOPs, dominate
+    encoder attention cost)."""
+    g, sp, _ = q_ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+    keep = col < valid_len
+    for b in range(g):
+        outs = []
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = q_ref[b, :, sl]
+            k = k_ref[b, :, sl]
+            v = v_ref[b, :, sl]
+            logits = (
+                jax.lax.dot_general(
+                    q,
+                    k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            logits = jnp.where(keep, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jax.lax.dot_general(
+                    p.astype(v.dtype),
+                    v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        o_ref[b] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret", "group"))
+def attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    interpret: bool = False,
+    group: int = 4,
+) -> jax.Array:
+    """Fused attention on the packed layout: q/k/v [B, S, H*dh] (straight
+    from the dense projections) -> [B, S, H*dh] context."""
+    b, s, d = q.shape
+    dh = d // num_heads
+    sp = _pad_len(s)
+    scale = 1.0 / (dh**0.5)
+    group = max(1, min(group, b))
+    while b % group:
+        group //= 2
+
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    kernel = functools.partial(
+        _packed_kernel, valid_len=s, scale=scale, heads=num_heads, dh=dh
+    )
+    spec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * sp * sp * dh,
+            bytes_accessed=4 * b * sp * d * q.dtype.itemsize,
+            transcendentals=b * num_heads * sp * sp,
+        ),
+    )(qp, kp, vp)
+    return out[:, :s, :]
+
+
+def mha_packed(
+    x_q: jax.Array,
+    x_kv: jax.Array,
+    p: dict,
+    num_heads: int,
+    interpret: bool = False,
+    group: int = 4,
+) -> jax.Array:
+    """Drop-in MHA using the packed-layout fused kernel (no head transpose)."""
+    q = common.dense(x_q, p["q"]["kernel"], p["q"]["bias"])
+    k = common.dense(x_kv, p["k"]["kernel"], p["k"]["bias"])
+    v = common.dense(x_kv, p["v"]["kernel"], p["v"]["bias"])
+    ctx = attention_packed(q, k, v, num_heads, interpret=interpret, group=group)
+    return common.dense(ctx, p["o"]["kernel"], p["o"]["bias"])
+
+
 def mha_fused(
     x_q: jax.Array,
     x_kv: jax.Array,
