@@ -55,8 +55,19 @@ def main() -> None:
 
     jax_cache.enable()
 
-    cfg = MangaOCRConfig.base()
-    params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    from manga_ocr_tpu.models.quantize import quantize_encoder
+
+    # The serving configuration (engine defaults): fused Pallas encoder
+    # kernels + int8 MLP.  Greedy-token parity with the f32 XLA path is
+    # covered by tests/test_fused_encoder.py.
+    from manga_ocr_tpu.engine.engine import _cast_quantized
+
+    cfg = MangaOCRConfig.serving()
+    params_f32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
+    params = mdl.cast_params(params_f32, jnp.bfloat16)
+    params["encoder"] = _cast_quantized(
+        quantize_encoder(params_f32["encoder"]), jnp.bfloat16
+    )
     # Fixed-length workload (random weights never emit EOS): one decode
     # chunk == the whole budget, no intermediate early-exit syncs.
     fn = mdl.make_jitted_ocr(cfg, max_length=MAX_NEW_TOKENS, chunk_size=MAX_NEW_TOKENS)

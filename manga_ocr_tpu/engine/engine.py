@@ -61,16 +61,48 @@ class TpuMangaOcrEngine:
         max_length: int | None = None,
         dtype=jnp.bfloat16,
         mesh=None,
+        serving_kernels: bool | None = None,
+        quantize_int8: bool | None = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — params are placed with
         tensor-parallel shardings and every crop batch is sharded over the
-        data axis (ICI batch parallelism, SURVEY §5.8); None = single chip."""
+        data axis (ICI batch parallelism, SURVEY §5.8); None = single chip.
+
+        ``serving_kernels``: use the fused Pallas encoder kernels (packed
+        attention + fused MLP; docs/PERF.md).  Defaults to on for
+        single-chip serving; off under a mesh (TP shardings of the fused
+        params are future work).  ``quantize_int8``: int8-quantize the
+        encoder MLP (W8A8, per-token/per-channel — greedy-token parity
+        covered by tests/test_fused_encoder.py); defaults to follow
+        ``serving_kernels``."""
+        import dataclasses as _dc
+
+        if serving_kernels is None:
+            serving_kernels = mesh is None
+        if quantize_int8 is None:
+            quantize_int8 = serving_kernels
+        if serving_kernels:
+            cfg = _dc.replace(
+                cfg,
+                encoder=_dc.replace(
+                    cfg.encoder, mlp_kernel="fused", attn_kernel="packed"
+                ),
+            )
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_length = max_length or cfg.max_length
         self.dtype = dtype
         self.mesh = mesh
         self.params = mdl.cast_params(params, dtype)
+        if serving_kernels and quantize_int8 and mesh is None:
+            from manga_ocr_tpu.models.quantize import quantize_encoder
+
+            # quantize from the ORIGINAL (pre-cast) weights; int8 values and
+            # f32 scales are preserved, every other float leaf goes to dtype
+            self.params = {
+                "encoder": _cast_quantized(quantize_encoder(params["encoder"]), dtype),
+                "decoder": self.params["decoder"],
+            }
         if mesh is not None:
             from manga_ocr_tpu.parallel import mesh as meshlib
 
@@ -227,6 +259,24 @@ class TpuMangaOcrEngine:
                 fn = self._bucket_fn(hw)
                 out = fn(self.params, jnp.asarray(dummy), jnp.asarray(sizes))
                 np.asarray(out.lengths)  # host readback forces completion
+
+
+def _cast_quantized(tree, dtype):
+    """Cast float leaves to ``dtype``, preserving int8 weights and the f32
+    per-channel scales of quantized denses."""
+    if isinstance(tree, dict):
+        if "w_q" in tree:
+            out = dict(tree)
+            out["w_q"] = jnp.asarray(tree["w_q"])
+            out["scale"] = jnp.asarray(tree["scale"], jnp.float32)
+            if tree.get("bias") is not None:
+                out["bias"] = jnp.asarray(tree["bias"], dtype)
+            return out
+        return {k: _cast_quantized(v, dtype) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_cast_quantized(v, dtype) for v in tree]
+    arr = jnp.asarray(tree)
+    return arr.astype(dtype) if jnp.issubdtype(arr.dtype, jnp.floating) else arr
 
 
 def _orientation_from_settings(settings: dict | None) -> int:

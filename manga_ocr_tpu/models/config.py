@@ -27,6 +27,11 @@ class EncoderConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     layer_norm_eps: float = 1e-12
+    # Kernel selection (serving sets fused paths; "xla" = reference math for
+    # parity tests).  mlp_kernel: "xla" | "fused" (bf16) | "fused" with
+    # int8-quantized params (auto-detected).  attn_kernel: "xla" | "packed".
+    mlp_kernel: str = "xla"
+    attn_kernel: str = "xla"
 
     @property
     def num_patches(self) -> int:
@@ -77,6 +82,20 @@ class MangaOCRConfig:
         """The full-size manga-ocr architecture (ViT-base encoder + 2-layer
         char-level decoder)."""
         return MangaOCRConfig()
+
+    @staticmethod
+    def serving() -> "MangaOCRConfig":
+        """``base()`` with the fused TPU serving kernels enabled: packed
+        Pallas attention + fused MLP (int8 when the params are quantized via
+        ``models.quantize.quantize_encoder``).  Parity tests use ``base()``;
+        this is the throughput configuration measured in docs/PERF.md."""
+        base = MangaOCRConfig.base()
+        return dataclasses.replace(
+            base,
+            encoder=dataclasses.replace(
+                base.encoder, mlp_kernel="fused", attn_kernel="packed"
+            ),
+        )
 
     @staticmethod
     def tiny(vocab_size: int = 100) -> "MangaOCRConfig":

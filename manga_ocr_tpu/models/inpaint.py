@@ -1,17 +1,22 @@
-"""LaMa-style inpainting network (Fast Fourier Convolutions) in JAX.
+"""LaMa inpainting generator (FFC-ResNet) in JAX — checkpoint-exact.
 
 The reference erases bubble text with the third-party lama-cleaner torch
 package when available (``_run_lama_inpaint``, ``/root/reference/src/ui/
-main_window.py:3590-3667``), falling back to cv2 inpainting.  This is the
-TPU-native equivalent: a resolution-robust inpainting net whose residual
-blocks use FFC (split local/global channel paths; the global path convolves
-in the frequency domain via rFFT — global receptive field in one block,
-exactly what large text-hole fill needs).
+main_window.py:3590-3667``), falling back to cv2 inpainting.  This module is
+the TPU-native equivalent, structured 1:1 with the published LaMa
+``FFCResNetGenerator`` so real checkpoints convert exactly
+(``models/convert_lama.py``; parity test ``tests/test_convert_lama.py``):
 
-Contract matches the reference wrapper: ``(image, mask) -> image`` with
-masked pixels replaced; batched and jitted; weights from the shared ``.npz``
-pytree store (random-init until a converted checkpoint is provided —
-conversion tracked in docs/PARITY.md).
+- reflect-padded 7x7 stem over [masked_image, mask] (4 channels),
+- ``downsamples`` stride-2 convs (the last splits into local/global paths),
+- ``num_blocks`` FFC residual blocks: local 3x3 convs cross-connected with a
+  SpectralTransform global path (1x1 → rFFT2(ortho) → 1x1 over interleaved
+  re/im channels → iFFT, with a residual around the Fourier unit),
+- transposed-conv (k3 s2 p1 op1) upsampling, reflect-padded 7x7 head,
+  sigmoid output, composited so known pixels pass through exactly.
+
+All BatchNorms are inference-folded into conv kernels/biases by the
+converter; random init mirrors the folded layout.  Batched + jitted.
 """
 
 from __future__ import annotations
@@ -27,69 +32,110 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class InpaintConfig:
-    base_channels: int = 32
-    num_blocks: int = 3  # FFC residual blocks (LaMa uses 9 at 4x downsample)
-    downsamples: int = 2
-    global_ratio: float = 0.5  # channel fraction on the spectral path
+    base_channels: int = 64  # ngf
+    num_blocks: int = 9  # FFC resnet blocks (big-lama uses 18)
+    downsamples: int = 3
+    global_ratio: float = 0.75  # global-path channel fraction in the blocks
+    max_features: int = 1024
+
+    def feats(self, i: int) -> int:
+        return min(self.base_channels * (2**i), self.max_features)
+
+    @property
+    def deep_channels(self) -> int:
+        return self.feats(self.downsamples)
+
+    @property
+    def cg(self) -> int:
+        return int(self.deep_channels * self.global_ratio)
+
+    @property
+    def cl(self) -> int:
+        return self.deep_channels - self.cg
 
 
-def _conv(x, p, stride=1, k_h=None):
+def _conv(x, p, stride=1, pad="zero"):
+    """Conv with torch-convention symmetric k//2 padding; ``pad`` selects
+    zero (downsample convs) or reflect (stem/blocks/head, LaMa's default)."""
+    k = p["kernel"].shape[0]
+    r = k // 2
+    if r and pad == "reflect":
+        x = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+        padding = ((0, 0), (0, 0))
+    else:
+        padding = ((r, r), (r, r))
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
         window_strides=(stride, stride),
-        padding="SAME",
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y + p["bias"].astype(x.dtype)
 
 
-def _conv_relu(x, p, stride=1):
-    return jax.nn.relu(_conv(x, p, stride))
+def _deconv2x(x, p):
+    """torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1): expressed as
+    an input-dilated conv with the converter-flipped kernel."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),  # [3, 3, I, O], spatially pre-flipped
+        window_strides=(1, 1),
+        padding=((1, 2), (1, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["bias"].astype(x.dtype)
 
 
-def spectral_transform(x: jax.Array, p: dict) -> jax.Array:
-    """Global path: conv1x1 → rFFT2 → 1x1 conv over stacked (re, im) → iFFT."""
-    x = _conv_relu(x, p["pre"])
+def _spectral(x, p):
+    """LaMa SpectralTransform: 1x1 reduce → FourierUnit (with residual) →
+    1x1 expand.  FFTs run in float32 with ortho normalization."""
+    x = jax.nn.relu(_conv(x, p["conv1"]))
     b, h, w, c = x.shape
-    freq = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # [B,H,W//2+1,C]
-    stacked = jnp.concatenate([freq.real, freq.imag], axis=-1)
-    y = _conv_relu(stacked.astype(x.dtype), p["freq"])
-    re, im = jnp.split(y.astype(jnp.float32), 2, axis=-1)
-    out = jnp.fft.irfft2(jax.lax.complex(re, im), s=(h, w), axes=(1, 2))
-    return _conv(out.astype(x.dtype), p["post"])
+    f = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
+    y = jnp.stack([f.real, f.imag], axis=-1).reshape(b, h, w // 2 + 1, 2 * c)
+    y = jax.nn.relu(_conv(y.astype(x.dtype), p["fu"]))
+    y = y.astype(jnp.float32).reshape(b, h, w // 2 + 1, c, 2)
+    fu = jnp.fft.irfft2(
+        jax.lax.complex(y[..., 0], y[..., 1]), s=(h, w), axes=(1, 2), norm="ortho"
+    ).astype(x.dtype)
+    return _conv(x + fu, p["conv2"])
 
 
-def ffc_block(x: jax.Array, p: dict, cfg: InpaintConfig) -> jax.Array:
-    """Residual FFC: split channels into local/global, cross-connect."""
-    c = x.shape[-1]
-    cg = int(c * cfg.global_ratio)
-    xl, xg = x[..., : c - cg], x[..., c - cg :]
-    yl = _conv(xl, p["l2l"]) + _conv(xg, p["g2l"])
-    yg = _conv(xl, p["l2g"]) + spectral_transform(xg, p["g2g"])
-    y = jnp.concatenate([jax.nn.relu(yl), jax.nn.relu(yg)], axis=-1)
-    y = _conv(y, p["merge"])
-    return jax.nn.relu(x + y)
+def _ffc_bn_act(xl, xg, p):
+    """One FFC + (folded) BN + ReLU: local/global cross-connections."""
+    yl = _conv(xl, p["l2l"], pad="reflect") + _conv(xg, p["g2l"], pad="reflect")
+    yg = _conv(xl, p["l2g"], pad="reflect") + _spectral(xg, p["g2g"])
+    return jax.nn.relu(yl), jax.nn.relu(yg)
+
+
+def ffc_block(xl, xg, p):
+    """FFC residual block: two FFC_BN_ACT units + per-path residual."""
+    yl, yg = _ffc_bn_act(xl, xg, p["conv1"])
+    yl, yg = _ffc_bn_act(yl, yg, p["conv2"])
+    return xl + yl, xg + yg
 
 
 def forward(params: dict, images: jax.Array, masks: jax.Array, cfg: InpaintConfig):
     """images [B,H,W,3] float in [0,1]; masks [B,H,W] (1 = hole).
     Returns inpainted [B,H,W,3] in [0,1]."""
     m = masks[..., None].astype(images.dtype)
-    x = jnp.concatenate([images * (1.0 - m), m], axis=-1)  # masked input + mask
-    x = _conv_relu(x, params["stem"])
-    skips = []
-    for i in range(cfg.downsamples):
-        skips.append(x)
-        x = _conv_relu(x, params["down"][i], stride=2)
+    x = jnp.concatenate([images * (1.0 - m), m], axis=-1)
+    x = jax.nn.relu(_conv(x, params["stem"], pad="reflect"))
+    for i, dp in enumerate(params["down"]):
+        if "l2g" in dp:  # final downsample splits local/global
+            xl = jax.nn.relu(_conv(x, dp["l2l"], stride=2))
+            xg = jax.nn.relu(_conv(x, dp["l2g"], stride=2))
+        else:
+            x = jax.nn.relu(_conv(x, dp["l2l"], stride=2))
     for bp in params["blocks"]:
-        x = ffc_block(x, bp, cfg)
-    for i in reversed(range(cfg.downsamples)):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-        x = _conv_relu(x, params["up"][i])
-        x = x + skips[i] if x.shape == skips[i].shape else x
-    out = jax.nn.sigmoid(_conv(x, params["head"]))
+        xl, xg = ffc_block(xl, xg, bp)
+    x = jnp.concatenate([xl, xg], axis=-1)
+    for up in params["up"]:
+        x = jax.nn.relu(_deconv2x(x, up))
+    out = jax.nn.sigmoid(_conv(x, params["head"], pad="reflect").astype(jnp.float32))
+    out = out.astype(images.dtype)
     # composite: keep known pixels exactly
     return images * (1.0 - m) + out * m
 
@@ -103,10 +149,7 @@ def inpaint_batch(params, images_u8, masks_u8, cfg: InpaintConfig):
 
 
 def init_params(cfg: InpaintConfig, key: jax.Array, dtype=jnp.float32) -> dict:
-    kiter = iter(jax.random.split(key, 512))
-    c = cfg.base_channels
-    cg = int(c * cfg.global_ratio)
-    cl = c - cg
+    kiter = iter(jax.random.split(key, 1024))
 
     def conv_p(cin, cout, k=3):
         fan = k * k * cin
@@ -118,30 +161,43 @@ def init_params(cfg: InpaintConfig, key: jax.Array, dtype=jnp.float32) -> dict:
             "bias": jnp.zeros((cout,), dtype),
         }
 
-    def ffc_p():
+    cl, cg = cfg.cl, cfg.cg
+
+    def ffc_unit():
         return {
             "l2l": conv_p(cl, cl),
             "g2l": conv_p(cg, cl),
             "l2g": conv_p(cl, cg),
             "g2g": {
-                "pre": conv_p(cg, cg, 1),
-                "freq": conv_p(2 * cg, 2 * cg, 1),
-                "post": conv_p(cg, cg, 1),
+                "conv1": conv_p(cg, cg // 2, 1),
+                "fu": conv_p(cg, cg, 1),  # over interleaved (re, im) channels
+                "conv2": conv_p(cg // 2, cg, 1),
             },
-            "merge": conv_p(c, c, 1),
         }
 
+    down = []
+    for i in range(cfg.downsamples):
+        cin, cout = cfg.feats(i), cfg.feats(i + 1)
+        if i == cfg.downsamples - 1:
+            down.append({"l2l": conv_p(cin, cl), "l2g": conv_p(cin, cg)})
+        else:
+            down.append({"l2l": conv_p(cin, cout)})
     return {
-        "stem": conv_p(4, c),
-        "down": [conv_p(c, c) for _ in range(cfg.downsamples)],
-        "blocks": [ffc_p() for _ in range(cfg.num_blocks)],
-        "up": [conv_p(c, c) for _ in range(cfg.downsamples)],
-        "head": conv_p(c, 3, 1),
+        "stem": conv_p(4, cfg.feats(0), 7),
+        "down": down,
+        "blocks": [
+            {"conv1": ffc_unit(), "conv2": ffc_unit()} for _ in range(cfg.num_blocks)
+        ],
+        "up": [
+            conv_p(cfg.feats(i + 1), cfg.feats(i))
+            for i in reversed(range(cfg.downsamples))
+        ],
+        "head": conv_p(cfg.feats(0), 3, 7),
     }
 
 
 class LamaInpainter:
-    """Reference-wrapper contract: ``(pil-or-bgr image, mask) -> np image``
+    """Reference-wrapper contract: ``(bgr image, mask) -> np image``
     (the callable shape the reference builds at main_window.py:3578)."""
 
     def __init__(self, params: dict | None = None, cfg: InpaintConfig | None = None):

@@ -175,6 +175,7 @@ def attention_packed(
 ) -> jax.Array:
     """Fused attention on the packed layout: q/k/v [B, S, H*dh] (straight
     from the dense projections) -> [B, S, H*dh] context."""
+    interpret = interpret or jax.default_backend() == "cpu"
     b, s, d = q.shape
     dh = d // num_heads
     sp = _pad_len(s)

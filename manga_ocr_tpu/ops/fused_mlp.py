@@ -1,0 +1,158 @@
+"""Fused encoder-MLP Pallas kernel: LN → fc1 → GELU → fc2 → +residual.
+
+The XLA encoder MLP materializes the [tokens, 4D] intermediate in HBM twice
+per layer (~310 MB at B=256) and runs bf16 matmuls at ~100 TF/s.  This
+kernel keeps the whole block in VMEM with both weight matrices resident
+(grid iterates token tiles; weight blocks have constant index maps so they
+are fetched once), and optionally runs the matmuls on the int8 MXU path
+(~2x bf16) with per-token dynamic activation quantization fused in.
+
+Measured on v5e at B=256 (S=197, D=768): XLA 4.11 ms/layer → fused bf16
+2.90 ms → fused int8 2.07 ms (scripts/perf_round2.py, slope-timed).
+
+GELU uses the Abramowitz–Stegun erf polynomial (max abs err 1.5e-7 — below
+bf16 resolution; Mosaic has no exact erf lowering).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
+    y = 1.0 - (
+        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t
+        + 0.254829592
+    ) * t * jnp.exp(-x * x)
+    return jnp.sign(x) * y
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _ln32(x, s, b, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _kernel_bf16(x_ref, w1_ref, w2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref, *, eps):
+    x = x_ref[:]
+    h = _ln32(x, lns_ref[:], lnb_ref[:], eps).astype(x.dtype)
+    h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _gelu(h).astype(x.dtype)
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    o_ref[:] = x + o.astype(x.dtype)
+
+
+def _kernel_int8(
+    x_ref, w1_ref, w2_ref, s1_ref, s2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref, *, eps
+):
+    x = x_ref[:]
+    h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps)
+    amax = jnp.max(jnp.abs(h32), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h32 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
+    h = _gelu(h)
+    amax2 = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    sx2 = jnp.maximum(amax2, 1e-8) * (1.0 / 127.0)
+    hq2 = jnp.clip(jnp.round(h / sx2), -127, 127).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        hq2, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    o = acc2.astype(jnp.float32) * sx2 * s2_ref[:] + b2_ref[:]
+    o_ref[:] = x + o.astype(x.dtype)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "tile_m", "interpret")
+)
+def fused_mlp_block(
+    x: jax.Array,  # [B, S, D] or [M, D]
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    w1,  # [D, I] bf16 kernel OR (w_q int8, scale f32)
+    b1: jax.Array,
+    w2,
+    b2: jax.Array,
+    eps: float = 1e-12,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused LN→MLP→residual block.  ``w1``/``w2`` are either bf16
+    kernels or ``(int8 weights, per-channel f32 scales)`` tuples."""
+    # Pallas TPU kernels run in interpreter mode on the CPU backend (tests /
+    # virtual meshes) transparently.
+    interpret = interpret or jax.default_backend() == "cpu"
+    shape = x.shape
+    d = shape[-1]
+    xf = x.reshape(-1, d)
+    m = xf.shape[0]
+    tile = min(tile_m, m)
+    pad = (-m) % tile
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    int8 = isinstance(w1, tuple)
+    i_dim = (w1[0] if int8 else w1).shape[-1]
+
+    xs = pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lns = ln_scale.astype(jnp.float32)
+    lnb = ln_bias.astype(jnp.float32)
+    b1f = b1.astype(jnp.float32)
+    b2f = b2.astype(jnp.float32)
+    if int8:
+        (w1q, s1), (w2q, s2) = w1, w2
+        out = pl.pallas_call(
+            functools.partial(_kernel_int8, eps=eps),
+            grid=((m + pad) // tile,),
+            in_specs=[
+                xs,
+                _const_spec((d, i_dim)),
+                _const_spec((i_dim, d)),
+                _const_spec((i_dim,)),
+                _const_spec((d,)),
+                _const_spec((d,)),
+                _const_spec((d,)),
+                _const_spec((i_dim,)),
+                _const_spec((d,)),
+            ],
+            out_specs=xs,
+            out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+            interpret=interpret,
+        )(xf, w1q, w2q, s1.astype(jnp.float32), s2.astype(jnp.float32), lns, lnb, b1f, b2f)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel_bf16, eps=eps),
+            grid=((m + pad) // tile,),
+            in_specs=[
+                xs,
+                _const_spec((d, i_dim)),
+                _const_spec((i_dim, d)),
+                _const_spec((d,)),
+                _const_spec((d,)),
+                _const_spec((i_dim,)),
+                _const_spec((d,)),
+            ],
+            out_specs=xs,
+            out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+            interpret=interpret,
+        )(xf, w1.astype(x.dtype), w2.astype(x.dtype), lns, lnb, b1f, b2f)
+    if pad:
+        out = out[:m]
+    return out.reshape(shape)

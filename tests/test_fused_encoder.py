@@ -1,0 +1,117 @@
+"""Parity of the fused serving kernels (packed attention + fused MLP,
+bf16/int8) against the XLA reference math, plus greedy-token agreement of
+the quantized serving path (VERDICT round-1: "token parity tests for every
+quantized path").  CPU backend runs the kernels in interpreter mode.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.models import model as mdl
+from manga_ocr_tpu.models import vit
+from manga_ocr_tpu.models.config import MangaOCRConfig
+from manga_ocr_tpu.models.quantize import quantize_encoder
+from manga_ocr_tpu.ops.fused_mlp import fused_mlp_block
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return MangaOCRConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return mdl.init_params(cfg, jax.random.PRNGKey(0))
+
+
+def _enc_cfg(cfg, **kw):
+    return dataclasses.replace(cfg.encoder, **kw)
+
+
+def _pixels(cfg, n=3, seed=1):
+    s = cfg.encoder.image_size
+    return jax.random.normal(jax.random.PRNGKey(seed), (n, s, s, 3), jnp.float32)
+
+
+def test_fused_mlp_matches_xla_block(cfg, params):
+    enc = params["encoder"]
+    lp = jax.tree.map(lambda a: a[0], enc["layers"])
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, cfg.encoder.hidden_size))
+    ref = vit._mlp(x, lp, _enc_cfg(cfg))
+    got = fused_mlp_block(
+        x,
+        lp["ln2"]["scale"],
+        lp["ln2"]["bias"],
+        lp["mlp"]["fc1"]["kernel"],
+        lp["mlp"]["fc1"]["bias"],
+        lp["mlp"]["fc2"]["kernel"],
+        lp["mlp"]["fc2"]["bias"],
+        eps=cfg.encoder.layer_norm_eps,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_packed_attention_encode_matches_xla(cfg, params):
+    px = _pixels(cfg)
+    ref = vit.encode(params["encoder"], px, _enc_cfg(cfg))
+    got = vit.encode(params["encoder"], px, _enc_cfg(cfg, attn_kernel="packed"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_encode_matches_xla(cfg, params):
+    px = _pixels(cfg)
+    ref = vit.encode(params["encoder"], px, _enc_cfg(cfg))
+    got = vit.encode(
+        params["encoder"], px, _enc_cfg(cfg, attn_kernel="packed", mlp_kernel="fused")
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
+def test_int8_fused_encode_close(cfg, params):
+    px = _pixels(cfg)
+    ref = vit.encode(params["encoder"], px, _enc_cfg(cfg))
+    qenc = quantize_encoder(params["encoder"])
+    got = vit.encode(qenc, px, _enc_cfg(cfg, mlp_kernel="fused"))
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    assert err.max() < 0.08, err.max()  # int8 quantization noise bound
+
+
+def test_int8_serving_greedy_tokens_match(cfg, params):
+    """End-to-end greedy decode: the quantized fused serving path must emit
+    the same token ids as the f32 XLA path on the tiny model."""
+    px = _pixels(cfg, n=4, seed=3)
+    ref = mdl.ocr_forward(params, px, cfg, max_length=12)
+    scfg = dataclasses.replace(
+        cfg, encoder=_enc_cfg(cfg, mlp_kernel="fused", attn_kernel="packed")
+    )
+    qparams = {
+        "encoder": quantize_encoder(params["encoder"]),
+        "decoder": params["decoder"],
+    }
+    got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_engine_serving_kernels_default(cfg, params):
+    """Engine defaults: fused+int8 single-chip; raw XLA under a mesh."""
+    from manga_ocr_tpu.engine.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    eng = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8, dtype=jnp.float32
+    )
+    assert eng.cfg.encoder.mlp_kernel == "fused"
+    assert eng.cfg.encoder.attn_kernel == "packed"
+    assert "w_q" in eng.params["encoder"]["layers"]["mlp"]["fc1"]
+    # scales stay f32 for dequantization accuracy
+    assert eng.params["encoder"]["layers"]["mlp"]["fc1"]["scale"].dtype == jnp.float32
+    rng = np.random.default_rng(0)
+    crop = rng.integers(0, 256, size=(40, 60, 3)).astype(np.uint8)
+    out = eng.ocr_page([crop])
+    assert len(out) == 1 and isinstance(out[0], str)

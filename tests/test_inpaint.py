@@ -32,10 +32,11 @@ def test_known_pixels_preserved(cfg, params):
 
 
 def test_spectral_transform_shapes(cfg, params):
-    x = jnp.zeros((1, 16, 16, 4), jnp.float32)
-    p = params["blocks"][0]["g2g"]
-    y = ip.spectral_transform(x, p)
-    assert y.shape == (1, 16, 16, 4)
+    cg = cfg.cg
+    x = jnp.zeros((1, 16, 16, cg), jnp.float32)
+    p = params["blocks"][0]["conv1"]["g2g"]
+    y = ip._spectral(x, p)
+    assert y.shape == (1, 16, 16, cg)
 
 
 def test_wrapper_pads_odd_sizes(cfg, params):
