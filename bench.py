@@ -66,7 +66,7 @@ def main() -> None:
     params_f32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
     params = mdl.cast_params(params_f32, jnp.bfloat16)
     params["encoder"] = _cast_quantized(
-        quantize_encoder(params_f32["encoder"]), jnp.bfloat16
+        quantize_encoder(params_f32["encoder"], quantize_attn_proj=True), jnp.bfloat16
     )
     # Fixed-length workload (random weights never emit EOS): one decode
     # chunk == the whole budget, no intermediate early-exit syncs.

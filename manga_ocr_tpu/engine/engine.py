@@ -85,7 +85,9 @@ class TpuMangaOcrEngine:
             cfg = _dc.replace(
                 cfg,
                 encoder=_dc.replace(
-                    cfg.encoder, mlp_kernel="fused", attn_kernel="packed"
+                    cfg.encoder,
+                    mlp_kernel="fused",
+                    attn_kernel="fused_layer" if quantize_int8 else "packed",
                 ),
             )
         self.cfg = cfg
@@ -100,7 +102,10 @@ class TpuMangaOcrEngine:
             # quantize from the ORIGINAL (pre-cast) weights; int8 values and
             # f32 scales are preserved, every other float leaf goes to dtype
             self.params = {
-                "encoder": _cast_quantized(quantize_encoder(params["encoder"]), dtype),
+                "encoder": _cast_quantized(
+                    quantize_encoder(params["encoder"], quantize_attn_proj=True),
+                    dtype,
+                ),
                 "decoder": self.params["decoder"],
             }
         if mesh is not None:

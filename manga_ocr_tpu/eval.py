@@ -85,15 +85,48 @@ def evaluate(ocr_page, fixtures: list) -> dict:
     }
 
 
+def _engine_from_manifest(path: str, manifest: dict):
+    """Rebuild the engine a fixture set was generated with (see
+    ``scripts/make_fixtures.py``).  Only the "tiny-random" harness-plumbing
+    engine is recognized; real checkpoints use ``--checkpoint``."""
+    if manifest.get("engine") != "tiny-random":
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.engine.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(int(manifest.get("seed", 0))))
+    return TpuMangaOcrEngine(
+        params,
+        cfg,
+        CharTokenizer.synthetic(),
+        max_length=int(manifest.get("max_length", 12)),
+        dtype=jnp.float32,
+        serving_kernels=bool(manifest.get("serving_kernels", False)),
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("fixtures")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--max-length", type=int, default=300)
     args = p.parse_args(argv)
-    from manga_ocr_tpu import cli
 
-    engine = cli._build_engine(args)
+    engine = None
+    manifest_path = os.path.join(args.fixtures, "manifest.json")
+    if not args.checkpoint and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            engine = _engine_from_manifest(args.fixtures, json.load(f))
+    if engine is None:
+        from manga_ocr_tpu import cli
+
+        engine = cli._build_engine(args)
     fixtures = load_fixtures(args.fixtures)
     report = evaluate(engine.ocr_page, fixtures)
     print(json.dumps(report, ensure_ascii=False, indent=2))

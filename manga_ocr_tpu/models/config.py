@@ -28,8 +28,9 @@ class EncoderConfig:
     intermediate_size: int = 3072
     layer_norm_eps: float = 1e-12
     # Kernel selection (serving sets fused paths; "xla" = reference math for
-    # parity tests).  mlp_kernel: "xla" | "fused" (bf16) | "fused" with
-    # int8-quantized params (auto-detected).  attn_kernel: "xla" | "packed".
+    # parity tests).  mlp_kernel: "xla" | "fused" (bf16; int8 auto-detected
+    # from quantized params).  attn_kernel: "xla" | "packed" (fused SDPA
+    # only) | "fused_layer" (LN + projections + SDPA + residual, one kernel).
     mlp_kernel: str = "xla"
     attn_kernel: str = "xla"
 
@@ -93,7 +94,7 @@ class MangaOCRConfig:
         return dataclasses.replace(
             base,
             encoder=dataclasses.replace(
-                base.encoder, mlp_kernel="fused", attn_kernel="packed"
+                base.encoder, mlp_kernel="fused", attn_kernel="fused_layer"
             ),
         )
 

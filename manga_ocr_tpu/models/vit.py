@@ -77,6 +77,18 @@ def encoder_block(
     x: jax.Array, lp: dict, cfg: EncoderConfig, fused: bool = False
 ) -> jax.Array:
     """One pre-LN ViT block."""
+    if cfg.attn_kernel == "fused_layer":
+        from manga_ocr_tpu.ops.flash_attention import fused_attn_layer
+
+        x = fused_attn_layer(
+            x,
+            lp["attn"],
+            lp["ln1"]["scale"],
+            lp["ln1"]["bias"],
+            cfg.num_heads,
+            eps=cfg.layer_norm_eps,
+        )
+        return _mlp(x, lp, cfg)
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
     x = x + _attention(h, lp, cfg, fused)
     return _mlp(x, lp, cfg)

@@ -224,6 +224,188 @@ def mha_packed(
     return common.dense(ctx, p["o"]["kernel"], p["o"]["bias"])
 
 
+# ---------------------------------------------------------------------------
+# Fully fused pre-LN attention layer: LN -> q/k/v proj -> SDPA -> out proj
+# -> +residual, one kernel, weights VMEM-resident (int8 or bf16).
+# ---------------------------------------------------------------------------
+
+
+def _ln32(x, s, b, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * s + b
+
+
+def _quant_rows(x32):
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    return jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8), sx
+
+
+def _attn_layer_kernel(
+    x_ref,
+    wq_ref,
+    wk_ref,
+    wv_ref,
+    wo_ref,
+    sq_ref,
+    sk_ref,
+    sv_ref,
+    so_ref,
+    bq_ref,
+    bk_ref,
+    bv_ref,
+    bo_ref,
+    lns_ref,
+    lnb_ref,
+    o_ref,
+    *,
+    eps: float,
+    valid_len: int,
+    heads: int,
+    dh: int,
+    int8: bool,
+):
+    g, sp, d = x_ref.shape
+    x = x_ref[:]
+    h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps).reshape(g * sp, d)
+
+    def proj(w_ref, s_ref, b_ref, hq, sx):
+        if int8:
+            acc = jax.lax.dot_general(
+                hq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            y = acc.astype(jnp.float32) * sx * s_ref[:] + b_ref[:]
+        else:
+            y = (
+                jnp.dot(hq, w_ref[:], preferred_element_type=jnp.float32)
+                + b_ref[:]
+            )
+        return y.astype(x.dtype).reshape(g, sp, d)
+
+    if int8:
+        hq, sx = _quant_rows(h32)
+    else:
+        hq, sx = h32.astype(x.dtype), None
+    q = proj(wq_ref, sq_ref, bq_ref, hq, sx)
+    k = proj(wk_ref, sk_ref, bk_ref, hq, sx)
+    v = proj(wv_ref, sv_ref, bv_ref, hq, sx)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+    keep = col < valid_len
+    scale = 1.0 / (dh**0.5)
+    ctx_rows = []
+    for b in range(g):
+        outs = []
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            logits = (
+                jax.lax.dot_general(
+                    q[b, :, sl],
+                    k[b, :, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            logits = jnp.where(keep, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(
+                jax.lax.dot_general(
+                    p.astype(x.dtype),
+                    v[b, :, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        ctx_rows.append(jnp.concatenate(outs, axis=-1))
+    ctx = jnp.stack(ctx_rows).reshape(g * sp, d)
+
+    if int8:
+        cq, csx = _quant_rows(ctx)
+        acc = jax.lax.dot_general(
+            cq, wo_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        out = acc.astype(jnp.float32) * csx * so_ref[:] + bo_ref[:]
+    else:
+        out = (
+            jnp.dot(ctx.astype(x.dtype), wo_ref[:], preferred_element_type=jnp.float32)
+            + bo_ref[:]
+        )
+    o_ref[:] = x + out.astype(x.dtype).reshape(g, sp, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "interpret", "group")
+)
+def fused_attn_layer(
+    x: jax.Array,  # [B, S, D]
+    p: dict,  # attn params: q/k/v/o denses (bf16 kernel or w_q+scale)
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    num_heads: int,
+    eps: float = 1e-12,
+    interpret: bool = False,
+    group: int = 2,
+) -> jax.Array:
+    """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
+    all; projection matmuls on the int8 MXU path when params are quantized
+    (``models.quantize.quantize_encoder(quantize_attn_proj=True)``)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, s, d = x.shape
+    dh = d // num_heads
+    sp = _pad_len(s)
+    group = max(1, min(group, b))
+    while b % group:
+        group //= 2
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
+
+    int8 = "w_q" in p["q"]
+    if int8:
+        ws = [p[k]["w_q"] for k in ("q", "k", "v", "o")]
+        scales = [p[k]["scale"].astype(jnp.float32) for k in ("q", "k", "v", "o")]
+    else:
+        ws = [p[k]["kernel"].astype(x.dtype) for k in ("q", "k", "v", "o")]
+        scales = [jnp.ones((d,), jnp.float32) for _ in range(4)]
+    biases = [p[k]["bias"].astype(jnp.float32) for k in ("q", "k", "v", "o")]
+
+    xs = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    cw = pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cv = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _attn_layer_kernel,
+        eps=eps,
+        valid_len=s,
+        heads=num_heads,
+        dh=dh,
+        int8=int8,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[xs] + [cw] * 4 + [cv] * 10,
+        out_specs=xs,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * sp * d * d * 4 + 2 * 2 * b * num_heads * sp * sp * dh,
+            bytes_accessed=2 * b * sp * d * x.dtype.itemsize,
+            transcendentals=b * num_heads * sp * sp,
+        ),
+    )(
+        xp,
+        *ws,
+        *scales,
+        *biases,
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+    )
+    return out[:, :s, :]
+
+
 def mha_fused(
     x_q: jax.Array,
     x_kv: jax.Array,

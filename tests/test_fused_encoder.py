@@ -82,20 +82,44 @@ def test_int8_fused_encode_close(cfg, params):
 
 
 def test_int8_serving_greedy_tokens_match(cfg, params):
-    """End-to-end greedy decode: the quantized fused serving path must emit
-    the same token ids as the f32 XLA path on the tiny model."""
+    """End-to-end greedy decode: the quantized fused serving path (int8 MLP
+    AND int8 attention projections, fused_layer kernel) must emit the same
+    token ids as the f32 XLA path on the tiny model."""
     px = _pixels(cfg, n=4, seed=3)
     ref = mdl.ocr_forward(params, px, cfg, max_length=12)
     scfg = dataclasses.replace(
-        cfg, encoder=_enc_cfg(cfg, mlp_kernel="fused", attn_kernel="packed")
+        cfg, encoder=_enc_cfg(cfg, mlp_kernel="fused", attn_kernel="fused_layer")
     )
     qparams = {
-        "encoder": quantize_encoder(params["encoder"]),
+        "encoder": quantize_encoder(params["encoder"], quantize_attn_proj=True),
         "decoder": params["decoder"],
     }
     got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
     np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_fused_attn_layer_matches_xla(cfg, params):
+    from manga_ocr_tpu.ops.flash_attention import fused_attn_layer
+
+    enc = params["encoder"]
+    lp = jax.tree.map(lambda a: a[0], enc["layers"])
+    x = jax.random.normal(
+        jax.random.PRNGKey(5), (2, 5, cfg.encoder.hidden_size), jnp.float32
+    )
+    from manga_ocr_tpu.ops.common import layer_norm, mha
+
+    h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.encoder.layer_norm_eps)
+    ref = x + mha(h, h, lp["attn"], cfg.encoder.num_heads)
+    got = fused_attn_layer(
+        x,
+        lp["attn"],
+        lp["ln1"]["scale"],
+        lp["ln1"]["bias"],
+        cfg.encoder.num_heads,
+        eps=cfg.encoder.layer_norm_eps,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
 def test_engine_serving_kernels_default(cfg, params):
@@ -107,7 +131,8 @@ def test_engine_serving_kernels_default(cfg, params):
         params, cfg, CharTokenizer.synthetic(), max_length=8, dtype=jnp.float32
     )
     assert eng.cfg.encoder.mlp_kernel == "fused"
-    assert eng.cfg.encoder.attn_kernel == "packed"
+    assert eng.cfg.encoder.attn_kernel == "fused_layer"
+    assert "w_q" in eng.params["encoder"]["layers"]["attn"]["q"]
     assert "w_q" in eng.params["encoder"]["layers"]["mlp"]["fc1"]
     # scales stay f32 for dequantization accuracy
     assert eng.params["encoder"]["layers"]["mlp"]["fc1"]["scale"].dtype == jnp.float32
