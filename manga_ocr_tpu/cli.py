@@ -126,7 +126,19 @@ def cmd_process(args) -> int:
             text, provider=args.provider, target_lang=args.target_lang
         )
 
-    pipe = PagePipeline(engine.ocr_page, translate=translate, dual_pass=engine.ocr_page_dual)
+    # Enhanced dual-pass fidelity (reference workers.py:398-402): the second
+    # pass goes to Tesseract(jpn) on the preprocessed crop when the binary
+    # is installed; same-model-on-binarized is only the fallback.
+    import functools as _ft
+
+    from manga_ocr_tpu.engine.registry import TesseractEngine
+
+    try:
+        second = TesseractEngine()
+    except RuntimeError:
+        second = None
+    dual = _ft.partial(engine.ocr_page_dual, second_engine=second)
+    pipe = PagePipeline(engine.ocr_page, translate=translate, dual_pass=dual)
     project = Project(project_dir=args.folder)
 
     pages = fio.list_images(args.folder)

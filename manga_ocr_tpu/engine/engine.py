@@ -223,7 +223,12 @@ class TpuMangaOcrEngine:
         pre = batching.scatter_results(pre_batches, pre_results)
         if second_engine is not None:
             raw_texts = self.ocr_page(crops, orientation)
-            tess_settings = {"ocr_engine": "Tesseract", "ocr_lang": "jpn"}
+            # the reference forces Tesseract with Japanese for this pass
+            tess_settings = {
+                "ocr_engine": "Tesseract",
+                "ocr_lang": "jpn",
+                "tesseract_lang": "jpn",
+            }
             second = [second_engine.perform_ocr(p, tess_settings) for p in pre]
         else:
             # one padded dispatch for both variants

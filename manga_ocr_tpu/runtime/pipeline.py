@@ -85,15 +85,30 @@ class MicroBatcher:
         return self.submit(crop).result(timeout)
 
     def _run(self) -> None:
+        import time
+
         while not self._stop.is_set():
             try:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = threading.Event()
-            deadline.wait(self.window_s)  # collection window
-            while len(batch) < self.max_batch:
+            # Adaptive window: a lone request on an idle engine dispatches
+            # (almost) immediately — only a sub-ms grace period to catch
+            # simultaneous submitters; the full coalescing window applies
+            # only under load (more work already queued).
+            time.sleep(0.0005)
+            if not self._queue.empty():
+                end = time.monotonic() + self.window_s
+                while len(batch) < self.max_batch:
+                    remaining = end - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(self._queue.get(timeout=remaining))
+                    except queue.Empty:
+                        break
+            while len(batch) < self.max_batch:  # final non-blocking drain
                 try:
                     batch.append(self._queue.get_nowait())
                 except queue.Empty:
@@ -252,7 +267,10 @@ class PagePipeline:
             return path, jobs
 
         results: dict[str, list[JobResult]] = {}
-        prep_pool = ThreadPoolExecutor(max_workers=1)
+        # Two prep workers give a real two-page lookahead (page N+1 and N+2
+        # prepare while page N's OCR dispatch is in flight); on error the
+        # remaining prepped pages are cancelled, not abandoned.
+        prep_pool = ThreadPoolExecutor(max_workers=2)
         futures = [prep_pool.submit(prepare, item) for item in pages]
         try:
             for fut in futures:
@@ -262,7 +280,7 @@ class PagePipeline:
                 if on_page:
                     on_page(path, page_results)
         finally:
-            prep_pool.shutdown(wait=False)
+            prep_pool.shutdown(wait=False, cancel_futures=True)
         return results
 
     def close(self) -> None:

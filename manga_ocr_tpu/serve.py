@@ -26,6 +26,9 @@ import numpy as np
 
 from manga_ocr_tpu.utils.metrics import GLOBAL_TIMER, OCR_COUNTER
 
+# Unauthenticated stdlib server: cap request bodies (ADVICE round-1 low #5).
+MAX_REQUEST_BYTES = 32 * 1024 * 1024
+
 
 def _decode_image(data: bytes) -> np.ndarray:
     from PIL import Image
@@ -97,6 +100,9 @@ def make_handler(service: OcrService):
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_REQUEST_BYTES:
+                self._reply(413, {"error": f"request too large (> {MAX_REQUEST_BYTES} bytes)"})
+                return
             data = self.rfile.read(length)
             try:
                 if self.path == "/ocr":
@@ -118,10 +124,15 @@ def make_handler(service: OcrService):
     return Handler
 
 
-def serve(engine, port: int = 8080, window_ms: float = 10.0) -> ThreadingHTTPServer:
-    """Start the server (non-blocking; returns the server object)."""
+def serve(
+    engine, port: int = 8080, window_ms: float = 10.0, host: str = "127.0.0.1"
+) -> ThreadingHTTPServer:
+    """Start the server (non-blocking; returns the server object).
+
+    Binds loopback by default — the service has no auth; exposing it needs
+    an explicit ``host`` (``--host 0.0.0.0``) behind a real ingress."""
     service = OcrService(engine, window_ms)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(service))
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
     httpd.service = service  # type: ignore[attr-defined]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
@@ -131,6 +142,7 @@ def serve(engine, port: int = 8080, window_ms: float = 10.0) -> ThreadingHTTPSer
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--max-length", type=int, default=300)
     p.add_argument("--window-ms", type=float, default=10.0)
@@ -140,8 +152,8 @@ def main(argv=None) -> int:
 
     engine = cli._build_engine(args)
     engine.warmup()
-    httpd = serve(engine, args.port, args.window_ms)
-    print(f"serving on :{args.port}")
+    httpd = serve(engine, args.port, args.window_ms, host=args.host)
+    print(f"serving on {args.host}:{args.port}")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

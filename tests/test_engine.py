@@ -78,3 +78,48 @@ def test_wide_crop_rotates_for_vertical(engine):
     """Vertical orientation + wide crop should not error (rot90 path)."""
     out = engine.ocr_page([_crop(40, 120)])
     assert len(out) == 1
+
+
+def test_dual_pass_routes_second_engine(engine):
+    """Enhanced dual-pass fidelity (VERDICT #5): when a decorrelated second
+    engine is provided (the reference uses Tesseract(jpn) on the
+    preprocessed crop, workers.py:398-402), the binarized crops go to IT and
+    its settings force Japanese Tesseract."""
+    calls = []
+
+    class FakeTess:
+        def perform_ocr(self, img, settings=None):
+            calls.append((img, settings))
+            return "tess"
+
+    crops = [_crop(40, 60), _crop(64, 48, 1)]
+    pairs = engine.ocr_page_dual(crops, second_engine=FakeTess())
+    assert len(pairs) == 2
+    assert [p[1] for p in pairs] == ["tess", "tess"]
+    assert len(calls) == 2
+    for img, settings in calls:
+        assert settings["ocr_engine"] == "Tesseract"
+        assert settings["tesseract_lang"] == "jpn"
+        # preprocessed crop: binarized (0/255) at the ORIGINAL crop size
+        assert set(np.unique(img)).issubset({0, 255})
+    assert calls[0][0].shape == crops[0].shape
+    assert calls[1][0].shape == crops[1].shape
+
+
+def test_micro_batcher_idle_latency():
+    """VERDICT #10: a lone request on an idle engine must not pay the fixed
+    coalescing window."""
+    import time
+
+    from manga_ocr_tpu.runtime.pipeline import MicroBatcher
+
+    mb = MicroBatcher(lambda crops: ["x"] * len(crops), window_ms=200.0)
+    try:
+        mb.ocr(np.zeros((4, 4, 3), np.uint8))  # warm the worker loop
+        t0 = time.perf_counter()
+        out = mb.ocr(np.zeros((4, 4, 3), np.uint8))
+        dt = time.perf_counter() - t0
+        assert out == "x"
+        assert dt < 0.1, f"idle request waited {dt*1e3:.0f} ms (window 200)"
+    finally:
+        mb.close()
