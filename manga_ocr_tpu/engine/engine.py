@@ -89,6 +89,7 @@ class TpuMangaOcrEngine:
                     mlp_kernel="fused",
                     attn_kernel="fused_layer" if quantize_int8 else "packed",
                 ),
+                decoder=_dc.replace(cfg.decoder, cross_kv_int8=quantize_int8),
             )
         self.cfg = cfg
         self.tokenizer = tokenizer

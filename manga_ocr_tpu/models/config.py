@@ -65,6 +65,9 @@ class DecoderConfig:
     unk_token_id: int = 1
     bos_token_id: int = 2  # [CLS] — decoder_start_token_id
     eos_token_id: int = 3  # [SEP]
+    # Store the precomputed cross-attention K/V int8 (decode is cross-KV
+    # bandwidth-bound; halves the dominant per-step HBM traffic).
+    cross_kv_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -96,6 +99,7 @@ class MangaOCRConfig:
             encoder=dataclasses.replace(
                 base.encoder, mlp_kernel="fused", attn_kernel="fused_layer"
             ),
+            decoder=dataclasses.replace(base.decoder, cross_kv_int8=True),
         )
 
     @staticmethod

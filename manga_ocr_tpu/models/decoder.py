@@ -52,10 +52,20 @@ class CrossKV(NamedTuple):
     Layout [L, B, H, dh, S]: encoder positions on the minor (lane) axis.
     Measured fastest for the per-step einsums on v5e (~25% over
     [B, S, H, dh] / [B, H, S, dh]) — the contraction axes land on
-    hardware-friendly dims for both the score and context products."""
+    hardware-friendly dims for both the score and context products.
 
-    k: jax.Array  # [L, B, H, dh, S_enc]
+    Optional int8 form (``k_scale``/``v_scale`` set): every decode step
+    re-reads the whole cross-K/V from HBM (~310 MB/step at B=256 — the
+    decode bandwidth floor), so storing it int8 halves the dominant decode
+    traffic; the dequant multiplies land AFTER the contractions (per-S for
+    scores, per-dh for context) and XLA fuses the int8→bf16 cast into the
+    einsum reads.  K quantizes over dh per (b, h, s); V over S per (b, h, d).
+    """
+
+    k: jax.Array  # [L, B, H, dh, S_enc] (bf16, or int8 when k_scale is set)
     v: jax.Array  # [L, B, H, dh, S_enc]
+    k_scale: jax.Array | None = None  # [L, B, H, S_enc] f32
+    v_scale: jax.Array | None = None  # [L, B, H, dh] f32
 
 
 def init_cache(
@@ -83,11 +93,16 @@ def embed(
     )
 
 
-def precompute_cross_kv(params: dict, enc_out: jax.Array, cfg: DecoderConfig) -> CrossKV:
+def precompute_cross_kv(
+    params: dict, enc_out: jax.Array, cfg: DecoderConfig, int8: bool | None = None
+) -> CrossKV:
     """Project encoder hidden states to per-layer cross-attention K/V once.
 
     One [B,S,H,dh]→[B,H,dh,S] relayout per layer here (amortized over every
-    decode step) buys the fastest per-step einsum layout — see ``CrossKV``."""
+    decode step) buys the fastest per-step einsum layout — see ``CrossKV``.
+    ``int8`` (default ``cfg.cross_kv_int8``) stores the result quantized."""
+    if int8 is None:
+        int8 = cfg.cross_kv_int8
     b, s, _ = enc_out.shape
     ks, vs = [], []
     for l in range(cfg.num_layers):
@@ -98,7 +113,17 @@ def precompute_cross_kv(params: dict, enc_out: jax.Array, cfg: DecoderConfig) ->
         v = v.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 3, 1)
         ks.append(k)
         vs.append(v)
-    return CrossKV(jnp.stack(ks), jnp.stack(vs))
+    k_all, v_all = jnp.stack(ks), jnp.stack(vs)
+    if not int8:
+        return CrossKV(k_all, v_all)
+    # K: quantize over dh (axis -2), per (l, b, h, s) — dequant after the
+    # score contraction; V: over S (axis -1), per (l, b, h, d).
+    k32, v32 = k_all.astype(jnp.float32), v_all.astype(jnp.float32)
+    k_scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=-2), 1e-8) / 127.0
+    v_scale = jnp.maximum(jnp.max(jnp.abs(v32), axis=-1), 1e-8) / 127.0
+    k_q = jnp.clip(jnp.round(k32 / k_scale[..., None, :]), -127, 127).astype(jnp.int8)
+    v_q = jnp.clip(jnp.round(v32 / v_scale[..., None]), -127, 127).astype(jnp.int8)
+    return CrossKV(k_q, v_q, k_scale, v_scale)
 
 
 def _post_ln_block(x, residual, ln, eps):
@@ -195,14 +220,31 @@ def decode_step(
         # -- cross-attention over precomputed encoder K/V ([B,H,dh,S]) -------
         ca = lp["cross_attn"]
         q = dense(x, ca["q"]["kernel"], ca["q"]["bias"]).reshape(b, h_, dh)
-        cs = jnp.einsum(
-            "bhd,bhds->bhs", q, cross_kv.k[l], preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+        ck_l, cv_l = cross_kv.k[l], cross_kv.v[l]
+        if cross_kv.k_scale is not None:
+            # int8 K/V: the int8->compute cast fuses into the einsum reads
+            # (halved HBM traffic); dequant scales apply post-contraction.
+            cs = jnp.einsum(
+                "bhd,bhds->bhs",
+                q,
+                ck_l.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ) * cross_kv.k_scale[l]
+        else:
+            cs = jnp.einsum(
+                "bhd,bhds->bhs", q, ck_l, preferred_element_type=jnp.float32
+            )
+        cs = cs / jnp.sqrt(jnp.asarray(dh, jnp.float32))
         cp = jax.nn.softmax(cs, axis=-1)
         cctx = jnp.einsum(
-            "bhs,bhds->bhd", cp.astype(x.dtype), cross_kv.v[l],
+            "bhs,bhds->bhd",
+            cp.astype(x.dtype),
+            cv_l.astype(x.dtype) if cross_kv.v_scale is not None else cv_l,
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype).reshape(b, h_ * dh)
+        )
+        if cross_kv.v_scale is not None:
+            cctx = cctx * cross_kv.v_scale[l]
+        cctx = cctx.astype(x.dtype).reshape(b, h_ * dh)
         out = dense(cctx, ca["o"]["kernel"], ca["o"]["bias"])
         x = _post_ln_block(out, x, lp["cross_ln"], cfg.layer_norm_eps)
         # -- MLP ---------------------------------------------------------------

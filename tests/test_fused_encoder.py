@@ -88,7 +88,9 @@ def test_int8_serving_greedy_tokens_match(cfg, params):
     px = _pixels(cfg, n=4, seed=3)
     ref = mdl.ocr_forward(params, px, cfg, max_length=12)
     scfg = dataclasses.replace(
-        cfg, encoder=_enc_cfg(cfg, mlp_kernel="fused", attn_kernel="fused_layer")
+        cfg,
+        encoder=_enc_cfg(cfg, mlp_kernel="fused", attn_kernel="fused_layer"),
+        decoder=dataclasses.replace(cfg.decoder, cross_kv_int8=True),
     )
     qparams = {
         "encoder": quantize_encoder(params["encoder"], quantize_attn_proj=True),
