@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 MAX_NEW_TOKENS = 32
-BATCH_SIZES = (128, 256)
+BATCH_SIZES = (256, 384)
 NORTH_STAR = 5000.0
 
 

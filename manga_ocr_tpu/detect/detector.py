@@ -37,6 +37,13 @@ class BubbleDetector:
 
     @staticmethod
     def from_checkpoint(path: str, cfg: seg.DetectorConfig | None = None):
+        """Load detector weights: a converted ``.npz`` pytree, or a real
+        ``.onnx`` checkpoint (parsed + executed natively in JAX — the
+        reference's detector family, ``main_window.py:6776-6815``)."""
+        if str(path).lower().endswith(".onnx"):
+            from manga_ocr_tpu.models.convert_onnx import OnnxBubbleDetector
+
+            return OnnxWrappedDetector(OnnxBubbleDetector.from_file(path))
         cfg = cfg or seg.DetectorConfig()
         return BubbleDetector(seg.load_params(path, cfg), cfg)
 
@@ -111,6 +118,21 @@ class BubbleDetector:
                 if picked is not None:
                     return picked
         return cont.find_speech_bubble_mask_contour(page_bgr, text_rect)
+
+
+class OnnxWrappedDetector(BubbleDetector):
+    """BubbleDetector API over a real ``.onnx`` checkpoint (JAX-executed)."""
+
+    def __init__(self, onnx_det, min_area: float = 200.0):
+        super().__init__(params=None, min_area=min_area)
+        self._onnx = onnx_det
+        self.params = object()  # non-None: the DL path is live
+
+    def detect_bubble_mask(self, page_bgr: np.ndarray) -> np.ndarray | None:
+        return self._onnx.detect_bubble_mask(page_bgr)
+
+    def detect_bubble_masks(self, pages_bgr: Sequence[np.ndarray]) -> list[np.ndarray]:
+        return [self._onnx.detect_bubble_mask(p) for p in pages_bgr]
 
 
 def _component_containing(mask: np.ndarray, rect: Rect) -> np.ndarray | None:
