@@ -151,6 +151,11 @@ def cmd_process(args) -> int:
             continue
         if detector is not None:
             detections = detector.detect_bubbles(page)
+            job_settings = settings.as_dict()
+            if job_settings.get("auto_split_bubbles", settings.get("ocr.auto_split_bubbles", True)):
+                from manga_ocr_tpu.detect import postprocess as _post
+
+                detections = _post.split_extended_bubbles(detections)
         else:
             # no DL weights: whole page as one region (still exercises OCR)
             h, w = page.shape[:2]
@@ -162,7 +167,7 @@ def cmd_process(args) -> int:
             OcrJob(path, m["rect"], m["polygon"], crop, settings.as_dict(), m["text"])
             for crop, m in zip(crops, metas)
         ]
-        results = pipe.process_jobs(jobs, enhanced=args.enhanced)
+        results = pipe.process_jobs(jobs, enhanced=args.enhanced or None)
         for r in results:
             if r.area is not None:
                 project.add_area(path, r.area, push_undo=False)

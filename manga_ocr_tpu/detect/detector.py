@@ -120,6 +120,19 @@ class BubbleDetector:
         return cont.find_speech_bubble_mask_contour(page_bgr, text_rect)
 
 
+def detector_from_settings(settings: dict, dl_models: dict):
+    """The reference's detector dispatch (``detect_bubble_with_dl_model``,
+    ``main_window.py:6843-6856``): ``use_dl_detector`` gates the DL path;
+    (``dl_provider``, ``dl_model_file``) select the model from the registry
+    (the reference's ``self.dl_models``, ``:513-520``).  Returns None when
+    the DL detector is off or unknown (callers fall back to the classical
+    contour finder)."""
+    if not settings.get("use_dl_detector"):
+        return None
+    key = (settings.get("dl_provider"), settings.get("dl_model_file"))
+    return dl_models.get(key) or dl_models.get(settings.get("dl_model_file"))
+
+
 class OnnxWrappedDetector(BubbleDetector):
     """BubbleDetector API over a real ``.onnx`` checkpoint (JAX-executed)."""
 

@@ -166,6 +166,17 @@ class AiOcrEngine:
         settings = settings or {}
         lang = str(settings.get("ocr_lang", "ja"))
         prompt = settings.get("ai_ocr_prompt") or ocr_prompt(lang)
+        # The job dict carries the selected AI-OCR model/provider (the
+        # reference's combo payload: get_current_settings keys).
+        model_override = settings.get("ocr_ai_model_id") or settings.get(
+            "ocr_ai_model_name"
+        )
+        if model_override:
+            self.model = model_override
+        # provider selection (instances are URL-bound; recorded for dumps)
+        self.provider = settings.get("ocr_ai_provider") or getattr(
+            self, "provider", None
+        )
         try:
             data_url = _png_data_url(cv_bgr_image)
         except Exception as e:

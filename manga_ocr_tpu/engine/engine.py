@@ -120,6 +120,7 @@ class TpuMangaOcrEngine:
             self._batch_multiple = 1
         self._fns: dict = {}
         self._lock = threading.Lock()
+        self._warmed: set = set()  # (bucket_hw, padded_batch) pairs compiled
 
     # -- jitted pipeline ----------------------------------------------------
 
@@ -174,6 +175,7 @@ class TpuMangaOcrEngine:
                 pad = self._batch_multiple - arr.shape[0] % self._batch_multiple
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
                 sizes = np.concatenate([sizes, np.repeat(sizes[-1:], pad, axis=0)])
+            self._note_dispatch_shape(b.bucket_hw, arr.shape[0])
             if self._batch_sharding is not None:
                 device_arr = jax.device_put(arr, self._batch_sharding)
                 device_sizes = jax.device_put(sizes, self._batch_sharding)
@@ -252,24 +254,61 @@ class TpuMangaOcrEngine:
         except Exception as e:  # contract: errors become sentinel strings
             return _err(f"{type(e).__name__}: {e}")
 
+    # -- compile-coverage discipline (SURVEY §5.6 / VERDICT #6) ----------------
+
+    def warm_set(
+        self,
+        bucket_hws: Sequence[tuple[int, int]] | None = None,
+        batch_sizes: Sequence[int] | None = None,
+    ) -> list[tuple[tuple[int, int], int]]:
+        """The FULL set of compiled shapes reachable from ``ocr_page``:
+        every bucket x every batch-schedule size.  Orientation is host-side,
+        so (bucket, padded batch) fully enumerates the programs."""
+        return [
+            (hw, n)
+            for hw in (bucket_hws or batching.DEFAULT_BUCKETS)
+            for n in (batch_sizes or batching.BATCH_SCHEDULE)
+        ]
+
+    def _note_dispatch_shape(self, bucket_hw, batch: int) -> None:
+        """Log dispatch shapes outside the warmed set — each is a potential
+        multi-minute cold compile in production (persistent cache aside)."""
+        key = (bucket_hw, batch)
+        if key not in self._warmed:
+            from manga_ocr_tpu.utils.metrics import COMPILE_EVENTS
+
+            COMPILE_EVENTS.add("unplanned_compile")
+            COMPILE_EVENTS.add(f"unplanned:{bucket_hw[0]}x{bucket_hw[1]}@{batch}")
+            self._warmed.add(key)
+
     def warmup(
         self,
         bucket_hws: Sequence[tuple[int, int]] | None = None,
         batch_sizes: Sequence[int] | None = None,
+        full: bool = False,
     ) -> None:
         """Pre-compile bucket x batch shapes (compile-once discipline).
 
-        Orientation is host-side, so (bucket, batch) fully enumerates the
-        reachable compiled programs of ``ocr_page``; warming every bucket of
-        ``DEFAULT_BUCKETS`` against the batch schedule covers serving."""
-        default = ((128, 128), (256, 128), (128, 256), (256, 256))
-        for hw in bucket_hws or default:
-            for n in batch_sizes or batching.BATCH_SCHEDULE[:1]:
-                dummy = np.zeros((n, hw[0], hw[1], 3), np.uint8)
-                sizes = np.full((n, 2), hw, np.int32)
-                fn = self._bucket_fn(hw)
-                out = fn(self.params, jnp.asarray(dummy), jnp.asarray(sizes))
-                np.asarray(out.lengths)  # host readback forces completion
+        Default: a representative subset (common buckets, smallest batch).
+        ``full=True`` warms the entire reachable set (``warm_set()``) — the
+        production warm pass (see ``scripts/warm_cache.py``); with the
+        persistent XLA cache enabled it is one-time per model revision."""
+        if full:
+            pairs = self.warm_set(bucket_hws, batch_sizes)
+        else:
+            default = ((128, 128), (256, 128), (128, 256), (256, 256))
+            pairs = [
+                (hw, n)
+                for hw in (bucket_hws or default)
+                for n in (batch_sizes or batching.BATCH_SCHEDULE[:1])
+            ]
+        for hw, n in pairs:
+            dummy = np.zeros((n, hw[0], hw[1], 3), np.uint8)
+            sizes = np.full((n, 2), hw, np.int32)
+            fn = self._bucket_fn(hw)
+            out = fn(self.params, jnp.asarray(dummy), jnp.asarray(sizes))
+            np.asarray(out.lengths)  # host readback forces completion
+            self._warmed.add((hw, n))
 
 
 def _cast_quantized(tree, dtype):

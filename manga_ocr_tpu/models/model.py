@@ -49,6 +49,7 @@ def greedy_decode(
     cfg: MangaOCRConfig,
     max_length: int | None = None,
     chunk_size: int = 8,
+    stop_lengths: jax.Array | None = None,
 ) -> GreedyResult:
     """Greedy autoregressive decode for a batch of encoder outputs.
 
@@ -60,6 +61,11 @@ def greedy_decode(
     the condition — not the math — the dominant decode cost; checking every
     ``chunk_size`` tokens amortizes it while still stopping early for
     short texts (typical manga bubbles: 5–30 chars vs max_length 300).
+
+    ``stop_lengths`` ([B] int32): benchmark instrument — rows behave as if
+    EOS fired at that length, so early-exit behavior can be measured under
+    a realistic length distribution even with random weights (which never
+    emit EOS).  None in production (EOS comes from the model).
     """
     dcfg = cfg.decoder
     max_len = max_length or cfg.max_length
@@ -90,6 +96,8 @@ def greedy_decode(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(s.done, dcfg.pad_token_id, nxt)
         newly_done = nxt == dcfg.eos_token_id
+        if stop_lengths is not None:  # bench-only forced early exit
+            newly_done = jnp.logical_or(newly_done, s.step + 2 >= stop_lengths)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             s.tokens, nxt[:, None], s.step + 1, axis=1
         )

@@ -129,11 +129,27 @@ class MicroBatcher:
         self._thread.join(timeout=2.0)
 
 
+import re as _re
+
+
+def apply_safe_mode(text: str, settings: dict | None = None) -> str:
+    """The reference's Safe Mode word filter (``workers.py:249-257``):
+    case-insensitive substitution of blocked words in the translated text.
+    Applied only when ``settings['safe_mode']`` is on."""
+    if not text or not (settings or {}).get("safe_mode"):
+        return text
+    text = _re.sub(r"vagina", "meong", text, flags=_re.IGNORECASE)
+    text = _re.sub(r"penis", "burung", text, flags=_re.IGNORECASE)
+    return text
+
+
 def create_typeset_area(
     job: OcrJob, translated: str, original: str, settings: dict | None = None
 ) -> TypesetArea:
-    """Build the output area with frozen cleanup geometry + overrides
-    (``_create_typeset_area`` behavior)."""
+    """Build the output area with frozen cleanup geometry + overrides,
+    honoring every typeset key of the reference's job-settings dict
+    (``_create_typeset_area``, ``main_window.py:4498-4533``; key names from
+    ``get_current_settings`` ``:4886-4973``)."""
     settings = settings or job.settings or {}
     area = TypesetArea(
         rect=job.rect,
@@ -141,8 +157,23 @@ def create_typeset_area(
         polygon=np.asarray(job.polygon, np.int32),
         cleanup_rect=job.rect,
         cleanup_polygon=np.asarray(job.polygon, np.int32),
-        orientation=settings.get("typeset_orientation", "horizontal"),
+        orientation=settings.get("orientation_mode", "horizontal"),
+        effect=settings.get("text_effect", "none"),
+        effect_intensity=float(settings.get("effect_intensity", 20.0)),
+        bezier_points=settings.get("bezier_points"),
+        bubble_enabled=bool(settings.get("create_bubble", False)),
+        text_outline=bool(settings.get("text_outline", False)),
+        text_outline_width=float(settings.get("outline_width", 2.0)),
+        text_outline_color=settings.get("outline_color", "#000000"),
+        text_outline_style=settings.get("outline_style", "stroke"),
+        alignment=settings.get("alignment", "center"),
+        line_spacing=float(settings.get("line_spacing", 1.1)),
+        char_spacing=float(settings.get("char_spacing", 100.0)),
+        margins=dict(
+            settings.get("margins", {"top": 0, "right": 0, "bottom": 0, "left": 0})
+        ),
         original_text=original,
+        translation_style=settings.get("translation_style", ""),
     )
     area.set_override("use_inpaint", bool(settings.get("use_inpaint", True)))
     area.set_override(
@@ -150,7 +181,9 @@ def create_typeset_area(
     )
     if settings.get("font"):
         area.font = dict(settings["font"])
-    if settings.get("text_color"):
+    if settings.get("color"):
+        area.color = settings["color"]
+    elif settings.get("text_color"):
         area.color = settings["text_color"]
     return area
 
@@ -176,12 +209,18 @@ class PagePipeline:
     def process_jobs(
         self,
         jobs: Sequence[OcrJob],
-        enhanced: bool = False,
+        enhanced: bool | None = None,
         on_result: Callable[[JobResult], None] | None = None,
     ) -> list[JobResult]:
         """Run a page's worth of jobs.  Pre-detected text skips OCR
-        (reference rule, ``workers.py:282-284``)."""
+        (reference rule, ``workers.py:282-284``).  ``enhanced`` defaults to
+        the jobs' own ``enhanced_pipeline`` setting (the reference's dual
+        pipeline switch, ``workers.py:260-279``)."""
         jobs = list(jobs)
+        if enhanced is None:
+            enhanced = bool(
+                jobs and (jobs[0].settings or {}).get("enhanced_pipeline")
+            )
         results: list[Optional[JobResult]] = [None] * len(jobs)
 
         need_ocr = [i for i, j in enumerate(jobs) if not j.pre_text]
@@ -229,7 +268,7 @@ class PagePipeline:
 
         for i, job in enumerate(jobs):
             original = originals.get(i, "")
-            translated = translations.get(i, "")
+            translated = apply_safe_mode(translations.get(i, ""), job.settings)
             error = None
             if isinstance(original, str) and original.startswith("[ERROR"):
                 error = original

@@ -107,6 +107,35 @@ class TranslationService:
             return fallback
         return _err(f"translation failed via {provider}/{model}")
 
+    def translate_for_job(self, text: str, settings: dict) -> str | None:
+        """The reference's per-job translation routing
+        (``run_standard_pipeline``, ``workers.py:359-380``):
+
+        1. ``use_ai_only_translate`` → AI provider/model from
+           ``settings['ai_model']`` (a (provider, model) pair),
+        2. ``use_deepl_only_translate`` → plain DeepL,
+        3. default → DeepL (the standard non-AI flow).
+
+        Enhanced jobs carry ``is_enhanced``/``ocr_results`` (the dual-pass
+        merge contract) into the AI prompt."""
+        settings = settings or {}
+        target = settings.get("target_lang", "English")
+        if settings.get("use_ai_only_translate"):
+            ai_model = settings.get("ai_model") or ("gemini", "gemini-2.5-flash-lite")
+            provider, model = ai_model
+            return self.translate_with_ai(
+                text,
+                provider=provider,
+                model=model,
+                target_lang=target,
+                is_enhanced=bool(settings.get("is_enhanced")),
+                ocr_results=settings.get("ocr_results"),
+            )
+        if settings.get("use_deepl_only_translate"):
+            return self.translate_text(text, target_lang=target)
+        # option 3: standard flow — DeepL as the primary non-AI translator
+        return self.translate_text(text, target_lang=target)
+
     def translate_text(self, text: str, target_lang: str = "English") -> str | None:
         """Plain DeepL translation (the reference's non-AI path)."""
         lang_code = {"english": "EN", "indonesian": "ID", "japanese": "JA"}.get(

@@ -155,3 +155,37 @@ def erase_area(
         r = cleanup_rect.clamped(out.shape[1], out.shape[0])
         out[r.top : r.bottom + 1, r.left : r.right + 1] = color
     return out
+
+
+def erase_area_for_settings(
+    image_bgr: np.ndarray,
+    area,
+    settings: dict,
+    bubble_mask: np.ndarray | None = None,
+    inpainters: dict | None = None,
+) -> np.ndarray:
+    """``erase_area`` driven by the reference job-settings dict
+    (``get_current_settings`` keys): ``use_inpaint``/``use_background_box``
+    (area overrides win, mirroring ``canvas.py:269-291``),
+    ``inpaint_padding``, and ``inpaint_model_key`` selecting the DL
+    inpainter tier ('big_lama' / 'anime_inpaint'; None → classical only)."""
+    settings = settings or {}
+    inpainters = inpainters or {}
+    key = settings.get("inpaint_model_key")
+    inpainter = inpainters.get(key) if key else None
+    return erase_area(
+        image_bgr,
+        area.cleanup_polygon if area.cleanup_polygon is not None else area.polygon,
+        area.cleanup_rect or area.rect,
+        bubble_mask=bubble_mask,
+        use_inpaint=bool(
+            area.get_override("use_inpaint", settings.get("use_inpaint", True))
+        ),
+        use_background_box=bool(
+            area.get_override(
+                "use_background_box", settings.get("use_background_box", True)
+            )
+        ),
+        inpaint_padding=int(settings.get("inpaint_padding", 2)),
+        inpainter=inpainter,
+    )

@@ -107,5 +107,33 @@ def trace(logdir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+class EventCounter:
+    """Named event counts (cold compiles, fallbacks, retries...)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counts: dict[str, int] = {}
+
+    def add(self, name: str, n: int = 1) -> None:
+        with self._lock:
+            self._counts[name] = self._counts.get(name, 0) + n
+
+    def get(self, name: str) -> int:
+        with self._lock:
+            return self._counts.get(name, 0)
+
+    def summary(self) -> dict:
+        with self._lock:
+            return dict(self._counts)
+
+    def reset(self) -> None:
+        with self._lock:
+            self._counts.clear()
+
+
 GLOBAL_TIMER = StageTimer()
 OCR_COUNTER = ThroughputCounter()
+# Compile discipline: every dispatch shape outside the declared warm set is
+# recorded here (engine.ocr_page), so serving can alert on unplanned ~3 min
+# cold compiles instead of silently stalling a request.
+COMPILE_EVENTS = EventCounter()

@@ -123,3 +123,50 @@ def test_micro_batcher_idle_latency():
         assert dt < 0.1, f"idle request waited {dt*1e3:.0f} ms (window 200)"
     finally:
         mb.close()
+
+
+def test_compile_coverage_zero_unplanned_after_full_warmup():
+    """VERDICT #6: after a full warmup, a representative page mix triggers
+    zero unplanned compiles; without warmup, the dispatch shapes are logged."""
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.engine.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+    from manga_ocr_tpu.utils.metrics import COMPILE_EVENTS
+
+    cfg = MangaOCRConfig.tiny()
+    eng = TpuMangaOcrEngine(
+        mdl.init_params(cfg, jax.random.PRNGKey(0)),
+        cfg,
+        CharTokenizer.synthetic(),
+        max_length=8,
+        dtype=jnp.float32,
+        serving_kernels=False,
+    )
+    buckets = ((128, 128), (256, 128))
+    rng = np.random.default_rng(0)
+    mix = [
+        rng.integers(0, 256, size=s).astype(np.uint8)
+        for s in ((60, 100, 3), (40, 40, 3), (200, 120, 3), (111, 99, 3))
+    ]
+
+    COMPILE_EVENTS.reset()
+    eng.ocr_page(mix)  # cold: unplanned shapes get logged
+    assert COMPILE_EVENTS.get("unplanned_compile") == 2  # two buckets hit
+
+    eng2 = TpuMangaOcrEngine(
+        mdl.init_params(cfg, jax.random.PRNGKey(0)),
+        cfg,
+        CharTokenizer.synthetic(),
+        max_length=8,
+        dtype=jnp.float32,
+        serving_kernels=False,
+    )
+    assert len(eng2.warm_set(buckets, (8, 16))) == 4
+    eng2.warmup(bucket_hws=buckets, batch_sizes=(8, 16), full=True)
+    COMPILE_EVENTS.reset()
+    eng2.ocr_page(mix)
+    assert COMPILE_EVENTS.get("unplanned_compile") == 0
