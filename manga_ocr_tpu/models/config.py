@@ -68,6 +68,8 @@ class DecoderConfig:
     # Store the precomputed cross-attention K/V int8 (decode is cross-KV
     # bandwidth-bound; halves the dominant per-step HBM traffic).
     cross_kv_int8: bool = False
+    # Decode-step MLP kernel: "xla" | "fused" (in-loop Pallas experiment).
+    step_mlp_kernel: str = "xla"
 
     @property
     def head_dim(self) -> int:

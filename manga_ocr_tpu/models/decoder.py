@@ -248,9 +248,28 @@ def decode_step(
         out = dense(cctx, ca["o"]["kernel"], ca["o"]["bias"])
         x = _post_ln_block(out, x, lp["cross_ln"], cfg.layer_norm_eps)
         # -- MLP ---------------------------------------------------------------
-        hdn = gelu(dense(x, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"]))
-        hdn = dense(hdn, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
-        x = _post_ln_block(hdn, x, lp["mlp_ln"], cfg.layer_norm_eps)
+        if cfg.step_mlp_kernel == "fused":
+            # post-LN block LN(x + MLP(x)): the fused kernel computes
+            # x + MLP(x) (pre_ln off), LN applied after.
+            from manga_ocr_tpu.ops.fused_mlp import fused_mlp_block
+
+            y = fused_mlp_block(
+                x,
+                jnp.ones((x.shape[-1],), jnp.float32),
+                jnp.zeros((x.shape[-1],), jnp.float32),
+                lp["mlp"]["fc1"]["kernel"],
+                lp["mlp"]["fc1"]["bias"],
+                lp["mlp"]["fc2"]["kernel"],
+                lp["mlp"]["fc2"]["bias"],
+                pre_ln=False,
+            )
+            x = layer_norm(
+                y, lp["mlp_ln"]["scale"], lp["mlp_ln"]["bias"], cfg.layer_norm_eps
+            )
+        else:
+            hdn = gelu(dense(x, lp["mlp"]["fc1"]["kernel"], lp["mlp"]["fc1"]["bias"]))
+            hdn = dense(hdn, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
+            x = _post_ln_block(hdn, x, lp["mlp_ln"], cfg.layer_norm_eps)
 
     logits = lm_head(params, x, cfg)
     return logits, KVCache(ck_all, cv_all)

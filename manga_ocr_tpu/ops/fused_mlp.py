@@ -44,9 +44,11 @@ def _ln32(x, s, b, eps):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * s + b
 
 
-def _kernel_bf16(x_ref, w1_ref, w2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref, *, eps):
+def _kernel_bf16(
+    x_ref, w1_ref, w2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref, *, eps, pre_ln
+):
     x = x_ref[:]
-    h = _ln32(x, lns_ref[:], lnb_ref[:], eps).astype(x.dtype)
+    h = _ln32(x, lns_ref[:], lnb_ref[:], eps).astype(x.dtype) if pre_ln else x
     h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
     h = _gelu(h).astype(x.dtype)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
@@ -54,10 +56,22 @@ def _kernel_bf16(x_ref, w1_ref, w2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref,
 
 
 def _kernel_int8(
-    x_ref, w1_ref, w2_ref, s1_ref, s2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref, *, eps
+    x_ref,
+    w1_ref,
+    w2_ref,
+    s1_ref,
+    s2_ref,
+    lns_ref,
+    lnb_ref,
+    b1_ref,
+    b2_ref,
+    o_ref,
+    *,
+    eps,
+    pre_ln,
 ):
     x = x_ref[:]
-    h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps)
+    h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps) if pre_ln else x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(h32), axis=-1, keepdims=True)
     sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
     hq = jnp.clip(jnp.round(h32 / sx), -127, 127).astype(jnp.int8)
@@ -81,7 +95,7 @@ def _const_spec(shape):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "tile_m", "interpret")
+    jax.jit, static_argnames=("eps", "tile_m", "interpret", "pre_ln")
 )
 def fused_mlp_block(
     x: jax.Array,  # [B, S, D] or [M, D]
@@ -94,9 +108,11 @@ def fused_mlp_block(
     eps: float = 1e-12,
     tile_m: int = 512,
     interpret: bool = False,
+    pre_ln: bool = True,
 ) -> jax.Array:
-    """One fused LN→MLP→residual block.  ``w1``/``w2`` are either bf16
-    kernels or ``(int8 weights, per-channel f32 scales)`` tuples."""
+    """One fused [LN→]MLP→residual block.  ``w1``/``w2`` are either bf16
+    kernels or ``(int8 weights, per-channel f32 scales)`` tuples.
+    ``pre_ln=False`` skips the in-kernel LN (post-LN decoder blocks)."""
     # Pallas TPU kernels run in interpreter mode on the CPU backend (tests /
     # virtual meshes) transparently.
     interpret = interpret or jax.default_backend() == "cpu"
@@ -119,7 +135,7 @@ def fused_mlp_block(
     if int8:
         (w1q, s1), (w2q, s2) = w1, w2
         out = pl.pallas_call(
-            functools.partial(_kernel_int8, eps=eps),
+            functools.partial(_kernel_int8, eps=eps, pre_ln=pre_ln),
             grid=((m + pad) // tile,),
             in_specs=[
                 xs,
@@ -138,7 +154,7 @@ def fused_mlp_block(
         )(xf, w1q, w2q, s1.astype(jnp.float32), s2.astype(jnp.float32), lns, lnb, b1f, b2f)
     else:
         out = pl.pallas_call(
-            functools.partial(_kernel_bf16, eps=eps),
+            functools.partial(_kernel_bf16, eps=eps, pre_ln=pre_ln),
             grid=((m + pad) // tile,),
             in_specs=[
                 xs,

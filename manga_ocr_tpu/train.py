@@ -11,6 +11,8 @@ batch sharded on the data axis and tensor-parallel params on the model axis
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import NamedTuple
 
 import jax
@@ -67,6 +69,22 @@ def make_train_step(cfg: MangaOCRConfig, optimizer, mesh: Mesh | None = None):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def make_lr_schedule(
+    peak_lr: float = 1e-4,
+    warmup_steps: int = 500,
+    decay_steps: int = 20_000,
+    end_lr_ratio: float = 0.1,
+):
+    """Linear warmup → cosine decay (the standard fine-tuning schedule)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=peak_lr,
+        warmup_steps=warmup_steps,
+        decay_steps=decay_steps,
+        end_value=peak_lr * end_lr_ratio,
+    )
+
+
 def init_train_state(
     cfg: MangaOCRConfig,
     optimizer,
@@ -80,3 +98,251 @@ def init_train_state(
         params = meshlib.shard_params(params, mesh)
     opt_state = optimizer.init(params)
     return params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# Data pipeline
+# ---------------------------------------------------------------------------
+
+
+def render_text_crop(
+    text: str, rng, image_size: int, font=None
+) -> "np.ndarray":
+    """Render a bubble-like training crop: white ellipse on tone, dark text
+    (PIL default font; the synthetic-data path for smoke training — real
+    fine-tuning feeds ``directory_dataset``)."""
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    s = image_size
+    img = Image.new("RGB", (s, s), (int(rng.integers(140, 220)),) * 3)
+    d = ImageDraw.Draw(img)
+    d.ellipse([2, 2, s - 3, s - 3], fill=(255, 255, 255), outline=(0, 0, 0))
+    y = s // 5
+    for ch in text:
+        d.text((s // 2 - 3, y), ch, fill=(0, 0, 0), font=font)
+        y += max(8, s // max(len(text), 1) // 2)
+        if y > s - s // 5:
+            break
+    return np.asarray(img)
+
+
+def synthetic_dataset(
+    cfg: MangaOCRConfig,
+    tokenizer,
+    batch_size: int,
+    seq_len: int,
+    seed: int = 0,
+):
+    """Infinite generator of TrainBatches with rendered text crops.
+
+    Texts are random character runs from the tokenizer vocab; images render
+    them into bubble-ish crops.  Good for smoke training / overfit tests and
+    the multi-chip dryrun; swap in ``directory_dataset`` for real data."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    img = cfg.encoder.image_size
+    # printable vocab entries (skip specials) whose ids fit the MODEL vocab
+    # (tiny test configs use a smaller vocab than the full tokenizer)
+    chars = [
+        t
+        for t in tokenizer.id_to_token[4 : cfg.decoder.vocab_size]
+        if len(t) == 1
+    ]
+
+    while True:
+        pixels = np.zeros((batch_size, img, img, 3), np.float32)
+        tokens = np.full((batch_size, seq_len), cfg.decoder.pad_token_id, np.int32)
+        mask = np.zeros((batch_size, seq_len), np.float32)
+        for i in range(batch_size):
+            n = int(rng.integers(1, max(2, seq_len - 2)))
+            text = "".join(rng.choice(chars) for _ in range(n))
+            crop = render_text_crop(text, rng, img)
+            pixels[i] = (crop.astype(np.float32) / 255.0 - 0.5) / 0.5
+            ids = tokenizer.encode(text)[: seq_len]
+            tokens[i, : len(ids)] = ids
+            mask[i, : len(ids)] = 1.0
+        yield TrainBatch(
+            jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(mask)
+        )
+
+
+def directory_dataset(
+    path: str,
+    cfg: MangaOCRConfig,
+    tokenizer,
+    batch_size: int,
+    seq_len: int,
+    seed: int = 0,
+):
+    """Infinite generator over a directory of (crop.png, crop.txt) pairs —
+    the same format as the eval fixtures, so recorded reference outputs
+    double as fine-tuning data."""
+    import numpy as np
+
+    from manga_ocr_tpu.eval import load_fixtures
+    from manga_ocr_tpu.ops import preprocess as pp
+
+    fixtures = load_fixtures(path)
+    if not fixtures:
+        raise ValueError(f"no (image, txt) pairs under {path}")
+    rng = np.random.default_rng(seed)
+    img = cfg.encoder.image_size
+
+    from PIL import Image
+
+    while True:
+        idxs = rng.integers(0, len(fixtures), size=batch_size)
+        pixels = np.zeros((batch_size, img, img, 3), np.float32)
+        tokens = np.full((batch_size, seq_len), cfg.decoder.pad_token_id, np.int32)
+        mask = np.zeros((batch_size, seq_len), np.float32)
+        for row, i in enumerate(idxs):
+            _, crop, text = fixtures[int(i)]
+            gray = np.asarray(
+                Image.fromarray(crop[..., ::-1]).convert("L").resize((img, img))
+            )
+            rgbish = np.repeat(gray[..., None], 3, axis=-1)
+            pixels[row] = (rgbish.astype(np.float32) / 255.0 - 0.5) / 0.5
+            ids = [
+                t if t < cfg.decoder.vocab_size else cfg.decoder.unk_token_id
+                for t in tokenizer.encode(text)
+            ][:seq_len]
+            tokens[row, : len(ids)] = ids
+            mask[row, : len(ids)] = 1.0
+        yield TrainBatch(jnp.asarray(pixels), jnp.asarray(tokens), jnp.asarray(mask))
+
+
+class Prefetcher:
+    """One-batch host prefetch: the next batch builds on a worker thread
+    while the current step runs on the device."""
+
+    def __init__(self, iterator):
+        import queue
+        import threading
+
+        self._it = iterator
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._stop = threading.Event()
+
+        def pump():
+            while not self._stop.is_set():
+                try:
+                    item = next(self._it)
+                except StopIteration:
+                    self._q.put(None)
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=pump, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Train-state checkpointing + loop
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(path: str, params, opt_state, step: int, cfg: MangaOCRConfig):
+    """Checkpoint params + optimizer state + step (npz store, resumable)."""
+    import numpy as np
+
+    from manga_ocr_tpu.models import checkpoint as ckpt
+
+    ckpt.save_checkpoint(path, params, cfg)
+    flat_opt = ckpt._flatten(jax.tree.map(np.asarray, opt_state))
+    np.savez(os.path.join(path, "opt_state.npz"), **flat_opt)
+    with open(os.path.join(path, "train_state.json"), "w") as f:
+        json.dump({"step": int(step)}, f)
+
+
+def load_train_state(path: str, optimizer, dtype=jnp.float32):
+    """Restore (params, opt_state, step, cfg); opt_state re-hydrated into
+    the optimizer's structure."""
+    import numpy as np
+
+    from manga_ocr_tpu.models import checkpoint as ckpt
+
+    params, cfg = ckpt.load_checkpoint(path, dtype)
+    template = optimizer.init(params)
+    data = np.load(os.path.join(path, "opt_state.npz"))
+    flat_tpl = ckpt._flatten(template)
+    leaves = {
+        k: jnp.asarray(data[k]) if k in data.files else jnp.asarray(v)
+        for k, v in flat_tpl.items()
+    }
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(template),
+        [leaves[k] for k in flat_tpl],
+    )
+    with open(os.path.join(path, "train_state.json")) as f:
+        step = json.load(f)["step"]
+    return params, opt_state, step, cfg
+
+
+def train(
+    cfg: MangaOCRConfig,
+    dataset,
+    steps: int,
+    mesh: Mesh | None = None,
+    peak_lr: float = 1e-4,
+    warmup_steps: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1000,
+    resume: bool = False,
+    log_every: int = 50,
+    seed: int = 0,
+):
+    """The training loop: schedule, prefetch, periodic resumable checkpoints.
+
+    Returns (params, losses).  ``dataset`` is any TrainBatch iterator
+    (``synthetic_dataset`` / ``directory_dataset``)."""
+    schedule = make_lr_schedule(peak_lr, warmup_steps, max(steps, warmup_steps + 1))
+    optimizer = optax.adamw(schedule, weight_decay=0.01)
+    start = 0
+    if resume and checkpoint_dir and os.path.exists(
+        os.path.join(checkpoint_dir, "train_state.json")
+    ):
+        params, opt_state, start, cfg = load_train_state(checkpoint_dir, optimizer)
+        if mesh is not None:
+            params = meshlib.shard_params(params, mesh)
+    else:
+        params, opt_state = init_train_state(
+            cfg, optimizer, jax.random.PRNGKey(seed), mesh
+        )
+    step_fn = make_train_step(cfg, optimizer, mesh)
+    losses = []
+    it = Prefetcher(iter(dataset))
+    try:
+        for i in range(start, steps):
+            batch = next(it)
+            params, opt_state, loss = step_fn(params, opt_state, batch)
+            if (i + 1) % log_every == 0 or i + 1 == steps:
+                losses.append(float(loss))
+            if checkpoint_dir and ((i + 1) % checkpoint_every == 0 or i + 1 == steps):
+                save_train_state(checkpoint_dir, params, opt_state, i + 1, cfg)
+    finally:
+        it.close()
+    return params, losses
