@@ -82,6 +82,12 @@ class TpuMangaOcrEngine:
         if quantize_int8 is None:
             quantize_int8 = serving_kernels
         if serving_kernels:
+            # NB: the fused decode-step kernels (ops/decode_layer.py) and the
+            # in-loop greedy head stay OFF here: measured 2.7x slower than
+            # the XLA step at B=256 — in-loop Pallas calls cost ~0.3-0.5 ms
+            # each on this runtime regardless of kernel size (docs/PERF.md
+            # round-2 decode probes).  They remain available via
+            # DecoderConfig.step_kernel / head_kernel for future runtimes.
             cfg = _dc.replace(
                 cfg,
                 encoder=_dc.replace(
@@ -98,16 +104,22 @@ class TpuMangaOcrEngine:
         self.mesh = mesh
         self.params = mdl.cast_params(params, dtype)
         if serving_kernels and quantize_int8 and mesh is None:
-            from manga_ocr_tpu.models.quantize import quantize_encoder
+            from manga_ocr_tpu.models.quantize import quantize_decoder, quantize_encoder
 
             # quantize from the ORIGINAL (pre-cast) weights; int8 values and
             # f32 scales are preserved, every other float leaf goes to dtype
+            decoder_params = self.params["decoder"]
+            if cfg.decoder.step_kernel == "fused_layer":
+                # only the fused step kernels consume int8 decoder weights
+                decoder_params = _cast_quantized(
+                    quantize_decoder(params["decoder"]), dtype
+                )
             self.params = {
                 "encoder": _cast_quantized(
                     quantize_encoder(params["encoder"], quantize_attn_proj=True),
                     dtype,
                 ),
-                "decoder": self.params["decoder"],
+                "decoder": decoder_params,
             }
         if mesh is not None:
             from manga_ocr_tpu.parallel import mesh as meshlib

@@ -30,7 +30,9 @@ class EncoderConfig:
     # Kernel selection (serving sets fused paths; "xla" = reference math for
     # parity tests).  mlp_kernel: "xla" | "fused" (bf16; int8 auto-detected
     # from quantized params).  attn_kernel: "xla" | "packed" (fused SDPA
-    # only) | "fused_layer" (LN + projections + SDPA + residual, one kernel).
+    # only) | "fused_layer" (LN + projections + SDPA + residual, one kernel)
+    # | "merged_layer" (the WHOLE block — attention + MLP — in one kernel;
+    # mlp_kernel is ignored).
     mlp_kernel: str = "xla"
     attn_kernel: str = "xla"
 
@@ -70,6 +72,15 @@ class DecoderConfig:
     cross_kv_int8: bool = False
     # Decode-step MLP kernel: "xla" | "fused" (in-loop Pallas experiment).
     step_mlp_kernel: str = "xla"
+    # Whole-layer decode-step kernel: "xla" (reference math, ~25 ops/layer)
+    # | "fused_layer" (ops.decode_layer: self-attn + cache update +
+    # cross-attn + MLP in ONE Pallas call per layer; requires int8-quantized
+    # decoder projections on TPU — ``models.quantize.quantize_decoder``).
+    step_kernel: str = "xla"
+    # Greedy LM head: "xla" (logits + argmax) | "fused" (ops.fused_head:
+    # transform+GELU+LN+tiled vocab matmul+argmax in one kernel — the [B, V]
+    # f32 logits never round-trip HBM).
+    head_kernel: str = "xla"
 
     @property
     def head_dim(self) -> int:

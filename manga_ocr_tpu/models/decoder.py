@@ -4,11 +4,9 @@ Numerically equivalent to the HF ``BertLMHeadModel`` decoder inside the
 reference's black-box manga-ocr engine (``/root/reference/src/ui/
 main_window.py:9801``), re-designed TPU-first:
 
-- parameter-stacked layers driven by ``lax.scan`` (the KV caches are stacked
-  on the same leading layer axis and scanned alongside the weights),
-- a *preallocated, static-shape* KV cache ``[L, B, H, max_len, dh]`` updated
-  in place via ``dynamic_update_slice`` — no dynamic shapes anywhere, so the
-  whole greedy loop compiles to a single XLA while-loop,
+- a *preallocated, static-shape* per-layer KV cache updated in place via
+  ``dynamic_update_slice`` — no dynamic shapes anywhere, so the whole
+  greedy loop compiles to a single XLA while-loop,
 - cross-attention K/V are projected from the encoder output **once** before
   the decode loop and reused by every step (the dominant per-step matmul
   saving for a 2-layer decoder),
@@ -40,10 +38,11 @@ from manga_ocr_tpu.ops.common import (
 
 
 class KVCache(NamedTuple):
-    """Static-shape self-attention cache, stacked over layers."""
+    """Static-shape self-attention cache: a tuple of per-layer buffers (see
+    ``init_cache`` for the layout and the tuple-vs-stacked rationale)."""
 
-    k: jax.Array  # [L, B, H, max_len, dh]
-    v: jax.Array  # [L, B, H, max_len, dh]
+    k: tuple  # L x [B, H, max_len, dh] (XLA) or L x [max_len, B, D] (fused)
+    v: tuple
 
 
 class CrossKV(NamedTuple):
@@ -68,11 +67,41 @@ class CrossKV(NamedTuple):
     v_scale: jax.Array | None = None  # [L, B, H, dh] f32
 
 
+class CrossKVPacked(NamedTuple):
+    """Cross-attention K/V in the fused-kernel layout: heads merged, straight
+    from the projections (no head transpose at all).
+
+    k/v: [L, B, S, D] (int8 when scales set); k_scale [L, B, S] f32
+    (per-token row quantization over D); v_scale [L, B, D] f32 (per-channel
+    over S).  The dequant multiplies land after the segment contractions in
+    ``ops.decode_layer.fused_cross_attn_step``."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+
+
 def init_cache(
     cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.float32
 ) -> KVCache:
-    shape = (cfg.num_layers, batch, cfg.num_heads, max_len, cfg.head_dim)
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    """Cache layout follows the step kernel: the XLA path reads
+    [L, B, H, T, dh]; the fused step kernel uses the packed [L, T, B, D]
+    layout so the per-step K/V insert is one contiguous 2-D [B, D] store at
+    sublane index ``step`` (Mosaic cannot lower the strided 4-D store the
+    XLA layout would need).
+
+    The per-layer buffers are a TUPLE (not a stacked [L, ...] array): the
+    decode loop then updates each layer's cache buffer directly, with no
+    per-step ``cache[l]`` slice / ``.at[l].set`` ops — every XLA op in the
+    step body costs ~12 us of launch overhead (docs/PERF.md).
+    """
+    if cfg.step_kernel == "fused_layer":
+        shape = (max_len, batch, cfg.hidden_size)
+    else:
+        shape = (batch, cfg.num_heads, max_len, cfg.head_dim)
+    zeros = lambda: tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers))
+    return KVCache(zeros(), zeros())
 
 
 def embed(
@@ -124,6 +153,32 @@ def precompute_cross_kv(
     k_q = jnp.clip(jnp.round(k32 / k_scale[..., None, :]), -127, 127).astype(jnp.int8)
     v_q = jnp.clip(jnp.round(v32 / v_scale[..., None]), -127, 127).astype(jnp.int8)
     return CrossKV(k_q, v_q, k_scale, v_scale)
+
+
+def precompute_cross_kv_packed(
+    params: dict, enc_out: jax.Array, cfg: DecoderConfig, int8: bool | None = None
+) -> CrossKVPacked:
+    """Cross-K/V in the fused-kernel packed layout [L, B, S, D] — straight
+    from the dense projections, no head relayout at all.
+
+    K quantizes per (l, b, s) row over D; V per (l, b, d) channel over S —
+    see ``CrossKVPacked``."""
+    if int8 is None:
+        int8 = cfg.cross_kv_int8
+    ks, vs = [], []
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda x: x[l], params["layers"]["cross_attn"])
+        ks.append(dense(enc_out, lp["k"]["kernel"], lp["k"]["bias"]))
+        vs.append(dense(enc_out, lp["v"]["kernel"], lp["v"]["bias"]))
+    k_all, v_all = jnp.stack(ks), jnp.stack(vs)  # [L, B, S, D]
+    if not int8:
+        return CrossKVPacked(k_all, v_all)
+    k32, v32 = k_all.astype(jnp.float32), v_all.astype(jnp.float32)
+    k_scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=-1), 1e-8) / 127.0  # [L,B,S]
+    v_scale = jnp.maximum(jnp.max(jnp.abs(v32), axis=-2), 1e-8) / 127.0  # [L,B,D]
+    k_q = jnp.clip(jnp.round(k32 / k_scale[..., None]), -127, 127).astype(jnp.int8)
+    v_q = jnp.clip(jnp.round(v32 / v_scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return CrossKVPacked(k_q, v_q, k_scale, v_scale)
 
 
 def _post_ln_block(x, residual, ln, eps):
@@ -189,24 +244,82 @@ def decode_step(
     Python loop (the decoder is 2 layers — stacked-scan per-step overhead
     costs more than it saves); attention works directly on the cache/cross
     layouts with einsums, no head-transpose materialization."""
+    x, cache = decode_hidden(params, token, step, cache, cross_kv, cfg)
+    return lm_head(params, x, cfg), cache
+
+
+def decode_step_greedy(
+    params: dict,
+    token: jax.Array,
+    step: jax.Array,
+    cache: KVCache,
+    cross_kv: CrossKV,
+    cfg: DecoderConfig,
+) -> tuple[jax.Array, KVCache]:
+    """One greedy decode step -> (next token ids [B] int32, updated cache).
+
+    With ``cfg.head_kernel == "fused"`` the LM head runs as one Pallas
+    kernel (transform+GELU+LN+tiled vocab matmul+argmax, ``ops.fused_head``)
+    — the [B, V] float32 logits never round-trip HBM."""
+    x, cache = decode_hidden(params, token, step, cache, cross_kv, cfg)
+    if cfg.head_kernel == "fused":
+        from manga_ocr_tpu.ops.fused_head import fused_greedy_head
+
+        t = params["head"]["transform"]
+        p = params["head"]["proj"]
+        nxt = fused_greedy_head(
+            x,
+            t["dense"]["kernel"],
+            t["dense"]["bias"],
+            t["ln"]["scale"],
+            t["ln"]["bias"],
+            p["kernel"],
+            p["bias"],
+            eps=cfg.layer_norm_eps,
+        )
+        return nxt, cache
+    logits = lm_head(params, x, cfg)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+def decode_hidden(
+    params: dict,
+    token: jax.Array,
+    step: jax.Array,
+    cache: KVCache,
+    cross_kv: CrossKV,
+    cfg: DecoderConfig,
+) -> tuple[jax.Array, KVCache]:
+    """Decode step up to (excluding) the LM head -> (hidden [B, D], cache)."""
+    if cfg.step_kernel == "fused_layer":
+        return _decode_hidden_fused(params, token, step, cache, cross_kv, cfg)
     h_, dh = cfg.num_heads, cfg.head_dim
-    x = embed(params, token[:, None], step, cfg)[:, 0, :].astype(cache.k.dtype)  # [B,D]
+    x = embed(params, token[:, None], step, cfg)[:, 0, :].astype(cache.k[0].dtype)
     b = x.shape[0]
-    max_len = cache.k.shape[-2]
+    max_len = cache.k[0].shape[-2]
     valid = (jnp.arange(max_len) <= step)[None, None, :]  # [1,1,T]
-    ck_all, cv_all = cache.k, cache.v
+    ck_all, cv_all = cache.k, cache.v  # per-layer tuples
 
     for l in range(cfg.num_layers):
         lp = jax.tree.map(lambda t: t[l], params["layers"])
         # -- causal self-attention against the running cache ----------------
+        # q/k/v as ONE [D, 3D] matmul: the concat is loop-invariant (XLA
+        # hoists it out of the decode while-loop) and saves two of the ~50
+        # per-step op launches whose fixed cost dominates decode time.
         sa = lp["self_attn"]
-        q = dense(x, sa["q"]["kernel"], sa["q"]["bias"]).reshape(b, h_, dh)
-        k_new = dense(x, sa["k"]["kernel"], sa["k"]["bias"]).reshape(b, h_, 1, dh)
-        v_new = dense(x, sa["v"]["kernel"], sa["v"]["bias"]).reshape(b, h_, 1, dh)
+        wqkv = jnp.concatenate(
+            [sa[n]["kernel"] for n in ("q", "k", "v")], axis=1
+        )
+        bqkv = jnp.concatenate([sa[n]["bias"] for n in ("q", "k", "v")])
+        qkv = dense(x, wqkv, bqkv)
+        d_ = h_ * dh
+        q = qkv[:, :d_].reshape(b, h_, dh)
+        k_new = qkv[:, d_ : 2 * d_].reshape(b, h_, 1, dh)
+        v_new = qkv[:, 2 * d_ :].reshape(b, h_, 1, dh)
         ck = jax.lax.dynamic_update_slice_in_dim(ck_all[l], k_new, step, axis=-2)
         cv = jax.lax.dynamic_update_slice_in_dim(cv_all[l], v_new, step, axis=-2)
-        ck_all = ck_all.at[l].set(ck)
-        cv_all = cv_all.at[l].set(cv)
+        ck_all = ck_all[:l] + (ck,) + ck_all[l + 1 :]
+        cv_all = cv_all[:l] + (cv,) + cv_all[l + 1 :]
         scores = jnp.einsum(
             "bhd,bhtd->bht", q, ck, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
@@ -271,8 +384,66 @@ def decode_step(
             hdn = dense(hdn, lp["mlp"]["fc2"]["kernel"], lp["mlp"]["fc2"]["bias"])
             x = _post_ln_block(hdn, x, lp["mlp_ln"], cfg.layer_norm_eps)
 
-    logits = lm_head(params, x, cfg)
-    return logits, KVCache(ck_all, cv_all)
+    return x, KVCache(ck_all, cv_all)
+
+
+def _decode_hidden_fused(
+    params: dict,
+    token: jax.Array,
+    step: jax.Array,
+    cache: KVCache,
+    cross_kv: CrossKV,
+    cfg: DecoderConfig,
+) -> tuple[jax.Array, KVCache]:
+    """decode_hidden via the fused step kernels (``ops.decode_layer``):
+    2 Pallas attention kernels + 1 fused MLP kernel per decoder layer
+    instead of ~25 XLA ops, collapsing the per-op launch/fetch overhead
+    that dominates the measured step cost (docs/PERF.md decode probes).
+    Expects the packed cache layout and ``CrossKVPacked`` (both selected
+    automatically by ``cfg.step_kernel`` in ``model.greedy_decode``)."""
+    from manga_ocr_tpu.ops.decode_layer import (
+        fused_cross_attn_step,
+        fused_self_attn_step,
+    )
+    from manga_ocr_tpu.ops.fused_mlp import fused_mlp_block
+
+    x = embed(params, token[:, None], step, cfg)[:, 0, :].astype(cache.k[0].dtype)
+    s_enc = cross_kv.k.shape[-2]
+    eps = cfg.layer_norm_eps
+
+    ck_all, cv_all = cache.k, cache.v  # per-layer tuples of [T, B, D]
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda t: t[l], params["layers"])
+        x, ck_new, cv_new = fused_self_attn_step(
+            x, lp["self_attn"], lp["self_ln"], ck_all[l], cv_all[l], step,
+            num_heads=cfg.num_heads, eps=eps,
+        )
+        ck_all = ck_all[:l] + (ck_new,) + ck_all[l + 1 :]
+        cv_all = cv_all[:l] + (cv_new,) + cv_all[l + 1 :]
+        x = fused_cross_attn_step(
+            x, lp["cross_attn"], lp["cross_ln"],
+            cross_kv.k[l], cross_kv.v[l],
+            None if cross_kv.k_scale is None else cross_kv.k_scale[l],
+            None if cross_kv.v_scale is None else cross_kv.v_scale[l],
+            num_heads=cfg.num_heads, eps=eps, s_valid=s_enc,
+        )
+        fc1, fc2 = lp["mlp"]["fc1"], lp["mlp"]["fc2"]
+        w1 = (fc1["w_q"], fc1["scale"]) if "w_q" in fc1 else fc1["kernel"]
+        w2 = (fc2["w_q"], fc2["scale"]) if "w_q" in fc2 else fc2["kernel"]
+        x = fused_mlp_block(
+            x,
+            lp["mlp_ln"]["scale"],
+            lp["mlp_ln"]["bias"],
+            w1,
+            fc1["bias"],
+            w2,
+            fc2["bias"],
+            eps=eps,
+            pre_ln=False,
+            post_ln=True,
+        )
+
+    return x, KVCache(ck_all, cv_all)
 
 
 def init_params(cfg: DecoderConfig, key: jax.Array, dtype=jnp.float32) -> dict:

@@ -75,7 +75,11 @@ def greedy_decode(
     n_chunks = -(-(max_len - 1) // chunk_size)
     padded_len = 1 + n_chunks * chunk_size  # inner loop never goes OOB
 
-    cross_kv = dec.precompute_cross_kv(params["decoder"], enc_out, dcfg)
+    if dcfg.step_kernel == "fused_layer":
+        # packed layouts for the fused step kernels (ops/decode_layer.py)
+        cross_kv = dec.precompute_cross_kv_packed(params["decoder"], enc_out, dcfg)
+    else:
+        cross_kv = dec.precompute_cross_kv(params["decoder"], enc_out, dcfg)
     cache = dec.init_cache(dcfg, b, padded_len, dtype)
     tokens = jnp.full((b, padded_len), dcfg.pad_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(dcfg.bos_token_id)
@@ -90,10 +94,9 @@ def greedy_decode(
     )
 
     def one_step(_, s: _LoopState) -> _LoopState:
-        logits, cache = dec.decode_step(
+        nxt, cache = dec.decode_step_greedy(
             params["decoder"], s.last, s.step, s.cache, cross_kv, dcfg
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(s.done, dcfg.pad_token_id, nxt)
         newly_done = nxt == dcfg.eos_token_id
         if stop_lengths is not None:  # bench-only forced early exit

@@ -47,5 +47,31 @@ def quantize_encoder(
     return out
 
 
+def quantize_decoder(decoder_params: dict) -> dict:
+    """Return decoder params with int8 projections for the fused decode-step
+    kernel (``ops.decode_layer``): self q/k/v/o, cross q/o, and the MLP.
+
+    Cross k/v kernels stay bf16 — they run once per dispatch in
+    ``decoder.precompute_cross_kv``, not per step.  Embeddings and the LM
+    head are untouched."""
+    out = dict(decoder_params)
+    layers = dict(decoder_params["layers"])
+    sa = dict(layers["self_attn"])
+    for key in ("q", "k", "v", "o"):
+        sa[key] = _quantize_dense_stacked(sa[key])
+    layers["self_attn"] = sa
+    ca = dict(layers["cross_attn"])
+    for key in ("q", "o"):
+        ca[key] = _quantize_dense_stacked(ca[key])
+    layers["cross_attn"] = ca
+    mlp = layers["mlp"]
+    layers["mlp"] = {
+        "fc1": _quantize_dense_stacked(mlp["fc1"]),
+        "fc2": _quantize_dense_stacked(mlp["fc2"]),
+    }
+    out["layers"] = layers
+    return out
+
+
 def is_quantized_dense(p: dict) -> bool:
     return "w_q" in p

@@ -77,6 +77,13 @@ def encoder_block(
     x: jax.Array, lp: dict, cfg: EncoderConfig, fused: bool = False
 ) -> jax.Array:
     """One pre-LN ViT block."""
+    if cfg.attn_kernel == "merged_layer":
+        # whole block (attn + MLP) in one kernel; cfg.mlp_kernel is ignored
+        from manga_ocr_tpu.ops.flash_attention import fused_encoder_layer
+
+        return fused_encoder_layer(
+            x, lp, cfg.num_heads, eps=cfg.layer_norm_eps
+        )
     if cfg.attn_kernel == "fused_layer":
         from manga_ocr_tpu.ops.flash_attention import fused_attn_layer
 

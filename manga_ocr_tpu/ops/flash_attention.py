@@ -243,23 +243,12 @@ def _quant_rows(x32):
     return jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8), sx
 
 
-def _attn_layer_kernel(
-    x_ref,
-    wq_ref,
-    wk_ref,
-    wv_ref,
-    wo_ref,
-    sq_ref,
-    sk_ref,
-    sv_ref,
-    so_ref,
-    bq_ref,
-    bk_ref,
-    bv_ref,
-    bo_ref,
-    lns_ref,
-    lnb_ref,
-    o_ref,
+def _attn_core(
+    x,
+    wq_ref, wk_ref, wv_ref, wo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
+    bq_ref, bk_ref, bv_ref, bo_ref,
+    lns_ref, lnb_ref,
     *,
     eps: float,
     valid_len: int,
@@ -267,8 +256,9 @@ def _attn_layer_kernel(
     dh: int,
     int8: bool,
 ):
-    g, sp, d = x_ref.shape
-    x = x_ref[:]
+    """x + Attention(LN(x)) on an in-VMEM [g, sp, d] value; shared by the
+    attention-only and the merged attention+MLP layer kernels."""
+    g, sp, d = x.shape
     h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps).reshape(g * sp, d)
 
     def proj(w_ref, s_ref, b_ref, hq, sx):
@@ -292,8 +282,10 @@ def _attn_layer_kernel(
     k = proj(wk_ref, sk_ref, bk_ref, hq, sx)
     v = proj(wv_ref, sv_ref, bv_ref, hq, sx)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
-    keep = col < valid_len
+    masked = valid_len < sp  # static; with unpadded blocks the mask is moot
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+        keep = col < valid_len
     scale = 1.0 / (dh**0.5)
     ctx_rows = []
     for b in range(g):
@@ -309,7 +301,8 @@ def _attn_layer_kernel(
                 )
                 * scale
             )
-            logits = jnp.where(keep, logits, NEG_INF)
+            if masked:
+                logits = jnp.where(keep, logits, NEG_INF)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -335,7 +328,31 @@ def _attn_layer_kernel(
             jnp.dot(ctx.astype(x.dtype), wo_ref[:], preferred_element_type=jnp.float32)
             + bo_ref[:]
         )
-    o_ref[:] = x + out.astype(x.dtype).reshape(g, sp, d)
+    return x + out.astype(x.dtype).reshape(g, sp, d)
+
+
+def _attn_layer_kernel(
+    x_ref,
+    wq_ref, wk_ref, wv_ref, wo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
+    bq_ref, bk_ref, bv_ref, bo_ref,
+    lns_ref, lnb_ref,
+    o_ref,
+    *,
+    eps: float,
+    valid_len: int,
+    heads: int,
+    dh: int,
+    int8: bool,
+):
+    o_ref[:] = _attn_core(
+        x_ref[:],
+        wq_ref, wk_ref, wv_ref, wo_ref,
+        sq_ref, sk_ref, sv_ref, so_ref,
+        bq_ref, bk_ref, bv_ref, bo_ref,
+        lns_ref, lnb_ref,
+        eps=eps, valid_len=valid_len, heads=heads, dh=dh, int8=int8,
+    )
 
 
 @functools.partial(
@@ -349,19 +366,25 @@ def fused_attn_layer(
     num_heads: int,
     eps: float = 1e-12,
     interpret: bool = False,
-    group: int = 2,
+    group: int = 4,  # swept on v5e: 4 edges out 2 (1.38 vs 1.42 ms); 8 fails to compile
 ) -> jax.Array:
     """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
     all; projection matmuls on the int8 MXU path when params are quantized
-    (``models.quantize.quantize_encoder(quantize_attn_proj=True)``)."""
+    (``models.quantize.quantize_encoder(quantize_attn_proj=True)``).
+
+    The sequence is NOT padded to a lane multiple: Pallas allows a block
+    dim equal to the array dim, and Mosaic's internal tile padding (197→208
+    sublanes) wastes 5.6% — versus the 30% the old explicit pad-to-256 paid
+    on every projection matmul, plus two [B,S,D] pad/slice HBM round-trips
+    per layer."""
     interpret = interpret or jax.default_backend() == "cpu"
     b, s, d = x.shape
     dh = d // num_heads
-    sp = _pad_len(s)
+    sp = s
     group = max(1, min(group, b))
     while b % group:
         group //= 2
-    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0))) if sp != s else x
+    xp = x
 
     int8 = "w_q" in p["q"]
     if int8:
@@ -420,3 +443,146 @@ def mha_fused(
     v = common.split_heads(common.dense(x_kv, p["v"]["kernel"], p["v"]["bias"]), num_heads)
     ctx = fused_attention(q, k, v, interpret=interpret)
     return common.dense(common.merge_heads(ctx), p["o"]["kernel"], p["o"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# Merged encoder layer: attention block + MLP block in ONE kernel — the
+# residual stream touches HBM once per layer instead of twice.
+# ---------------------------------------------------------------------------
+
+
+def _gelu32(x):
+    """Exact-GELU via the A&S erf polynomial (|err| < 1.5e-7; Mosaic has no
+    erf lowering)."""
+    z = x * 0.7071067811865476  # erf argument is x / sqrt(2)
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(z))
+    poly = (
+        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t
+        + 0.254829592
+    ) * t
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-z * z))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _enc_layer_kernel(
+    x_ref,
+    wq_ref, wk_ref, wv_ref, wo_ref,
+    sq_ref, sk_ref, sv_ref, so_ref,
+    bq_ref, bk_ref, bv_ref, bo_ref,
+    l1s_ref, l1b_ref,
+    w1_ref, s1_ref, b1_ref,
+    w2_ref, s2_ref, b2_ref,
+    l2s_ref, l2b_ref,
+    o_ref,
+    *,
+    eps: float,
+    valid_len: int,
+    heads: int,
+    dh: int,
+    int8: bool,
+):
+    x2 = _attn_core(
+        x_ref[:],
+        wq_ref, wk_ref, wv_ref, wo_ref,
+        sq_ref, sk_ref, sv_ref, so_ref,
+        bq_ref, bk_ref, bv_ref, bo_ref,
+        l1s_ref, l1b_ref,
+        eps=eps, valid_len=valid_len, heads=heads, dh=dh, int8=int8,
+    )
+    g, sp, d = x2.shape
+    h32 = _ln32(x2, l2s_ref[:], l2b_ref[:], eps).reshape(g * sp, d)
+    if int8:
+        hq, sx = _quant_rows(h32)
+        acc = jax.lax.dot_general(
+            hq, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
+        h = _gelu32(h)
+        hq2, sx2 = _quant_rows(h)
+        acc2 = jax.lax.dot_general(
+            hq2, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        out = acc2.astype(jnp.float32) * sx2 * s2_ref[:] + b2_ref[:]
+    else:
+        h = (
+            jnp.dot(h32.astype(x2.dtype), w1_ref[:], preferred_element_type=jnp.float32)
+            + b1_ref[:]
+        )
+        h = _gelu32(h).astype(x2.dtype)
+        out = (
+            jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+        )
+    o_ref[:] = x2 + out.astype(x2.dtype).reshape(g, sp, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "interpret", "group")
+)
+def fused_encoder_layer(
+    x: jax.Array,  # [B, S, D]
+    p: dict,  # layer params: attn{q,k,v,o}, ln1, ln2, mlp{fc1,fc2}
+    num_heads: int,
+    eps: float = 1e-12,
+    interpret: bool = False,
+    group: int = 2,
+) -> jax.Array:
+    """One whole pre-LN ViT block — x += Attn(LN1(x)); x += MLP(LN2(x)) —
+    as ONE kernel: the [B, S, D] residual stream reads/writes HBM once per
+    layer instead of once per sub-block, and all weights sit VMEM-resident
+    (int8 when quantized)."""
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, s, d = x.shape
+    dh = d // num_heads
+    group = max(1, min(group, b))
+    while b % group:
+        group //= 2
+
+    attn = p["attn"]
+    int8 = "w_q" in attn["q"]
+    if int8:
+        aws = [attn[k]["w_q"] for k in ("q", "k", "v", "o")]
+        ascales = [attn[k]["scale"].astype(jnp.float32) for k in ("q", "k", "v", "o")]
+    else:
+        aws = [attn[k]["kernel"].astype(x.dtype) for k in ("q", "k", "v", "o")]
+        ascales = [jnp.ones((d,), jnp.float32)] * 4
+    abiases = [attn[k]["bias"].astype(jnp.float32) for k in ("q", "k", "v", "o")]
+    fc1, fc2 = p["mlp"]["fc1"], p["mlp"]["fc2"]
+    m_int8 = "w_q" in fc1
+    assert m_int8 == int8, "attention and MLP must share the quantization mode"
+    if int8:
+        w1, s1 = fc1["w_q"], fc1["scale"].astype(jnp.float32)
+        w2, s2 = fc2["w_q"], fc2["scale"].astype(jnp.float32)
+    else:
+        w1, s1 = fc1["kernel"].astype(x.dtype), jnp.ones((fc1["kernel"].shape[-1],), jnp.float32)
+        w2, s2 = fc2["kernel"].astype(x.dtype), jnp.ones((d,), jnp.float32)
+    i_dim = w1.shape[-1]
+
+    xs = pl.BlockSpec((group, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    cw = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _enc_layer_kernel,
+        eps=eps, valid_len=s, heads=num_heads, dh=dh, int8=int8,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[xs]
+        + [cw((d, d))] * 4
+        + [cw((d,))] * 10
+        + [cw((d, i_dim)), cw((i_dim,)), cw((i_dim,))]
+        + [cw((i_dim, d)), cw((d,)), cw((d,))]
+        + [cw((d,))] * 2,
+        out_specs=xs,
+        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        *aws,
+        *ascales,
+        *abiases,
+        p["ln1"]["scale"].astype(jnp.float32), p["ln1"]["bias"].astype(jnp.float32),
+        w1, s1, fc1["bias"].astype(jnp.float32),
+        w2, s2, fc2["bias"].astype(jnp.float32),
+        p["ln2"]["scale"].astype(jnp.float32), p["ln2"]["bias"].astype(jnp.float32),
+    )

@@ -108,6 +108,7 @@ def fused_greedy_head(
 ) -> jax.Array:
     """Returns argmax token ids [B] int32.  Vocab must be a multiple of the
     tile (manga-ocr: 6144 = 12×512); callers pad otherwise."""
+    interpret = interpret or jax.default_backend() == "cpu"
     b, d = x.shape
     v = wp.shape[1]
     assert v % VOCAB_TILE == 0, f"vocab {v} not a multiple of {VOCAB_TILE}"

@@ -81,6 +81,24 @@ def test_int8_fused_encode_close(cfg, params):
     assert err.max() < 0.08, err.max()  # int8 quantization noise bound
 
 
+def test_merged_layer_encode_matches_xla(cfg, params):
+    """attn_kernel="merged_layer" (whole block in one kernel) matches the
+    XLA reference encoder (bf16/f32 weights)."""
+    px = _pixels(cfg)
+    ref = vit.encode(params["encoder"], px, _enc_cfg(cfg))
+    got = vit.encode(params["encoder"], px, _enc_cfg(cfg, attn_kernel="merged_layer"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
+def test_int8_merged_layer_close(cfg, params):
+    px = _pixels(cfg)
+    ref = vit.encode(params["encoder"], px, _enc_cfg(cfg))
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    got = vit.encode(qenc, px, _enc_cfg(cfg, attn_kernel="merged_layer"))
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    assert err.max() < 0.08, err.max()  # int8 quantization noise bound
+
+
 def test_int8_serving_greedy_tokens_match(cfg, params):
     """End-to-end greedy decode: the quantized fused serving path (int8 MLP
     AND int8 attention projections, fused_layer kernel) must emit the same
