@@ -94,6 +94,10 @@ class TpuMangaOcrEngine:
                     cfg.encoder,
                     mlp_kernel="fused",
                     attn_kernel="fused_layer" if quantize_int8 else "packed",
+                    # sigmoid GELU's ~0.02 error sits below the int8
+                    # activation quantization step; keep exact erf for the
+                    # unquantized path
+                    gelu_mode="sigmoid" if quantize_int8 else "erf",
                 ),
                 decoder=_dc.replace(cfg.decoder, cross_kv_int8=quantize_int8),
             )

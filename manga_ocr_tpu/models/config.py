@@ -35,6 +35,10 @@ class EncoderConfig:
     # mlp_kernel is ignored).
     mlp_kernel: str = "xla"
     attn_kernel: str = "xla"
+    # GELU inside the fused MLP kernel: "erf" (exact, ~20 VPU ops) |
+    # "sigmoid" (x*sigmoid(1.702x), ~6 ops; |err| ~0.02 — below the int8
+    # per-row activation quantization step, greedy-token parity tested).
+    gelu_mode: str = "erf"
 
     @property
     def num_patches(self) -> int:
@@ -110,7 +114,12 @@ class MangaOCRConfig:
         return dataclasses.replace(
             base,
             encoder=dataclasses.replace(
-                base.encoder, mlp_kernel="fused", attn_kernel="fused_layer"
+                base.encoder,
+                mlp_kernel="fused",
+                attn_kernel="fused_layer",
+                # fast VPU GELU: 2.05 -> 1.04 ms/layer, error below the int8
+                # activation quantization step (token parity tested)
+                gelu_mode="sigmoid",
             ),
             decoder=dataclasses.replace(base.decoder, cross_kv_int8=True),
         )

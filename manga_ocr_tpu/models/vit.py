@@ -65,6 +65,7 @@ def _mlp(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
             w2,
             fc2["bias"],
             eps=cfg.layer_norm_eps,
+            gelu_mode=cfg.gelu_mode,
         )
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
     h = dense_any(h, lp["mlp"]["fc1"])

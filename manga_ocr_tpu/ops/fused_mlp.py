@@ -37,6 +37,14 @@ def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_sigmoid(x):
+    """x * sigmoid(1.702 x) — max abs error ~0.02, below the int8 per-row
+    quantization step for typical activations; ~6 VPU ops vs ~20 for the
+    erf polynomial (the GELU pass is ~0.46 ms/layer of pure VPU time at
+    B=256)."""
+    return x / (1.0 + jnp.exp(-1.702 * x))
+
+
 def _ln32(x, s, b, eps):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, -1, keepdims=True)
@@ -46,12 +54,12 @@ def _ln32(x, s, b, eps):
 
 def _kernel_bf16(
     x_ref, w1_ref, w2_ref, lns_ref, lnb_ref, b1_ref, b2_ref, o_ref, *, eps, pre_ln,
-    post_ln,
+    post_ln, gelu_fn,
 ):
     x = x_ref[:]
     h = _ln32(x, lns_ref[:], lnb_ref[:], eps).astype(x.dtype) if pre_ln else x
     h = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    h = _gelu(h).astype(x.dtype)
+    h = gelu_fn(h).astype(x.dtype)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     r = x + o.astype(x.dtype)  # works for 2-D and 3-D blocks alike
     if post_ln:  # post-LN decoder block: LN(x + MLP(x)) folded in
@@ -74,6 +82,7 @@ def _kernel_int8(
     eps,
     pre_ln,
     post_ln,
+    gelu_fn,
 ):
     x = x_ref[:]
     h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps) if pre_ln else x.astype(jnp.float32)
@@ -85,7 +94,7 @@ def _kernel_int8(
         hq, w1_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
-    h = _gelu(h)
+    h = gelu_fn(h)
     amax2 = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
     sx2 = jnp.maximum(amax2, 1e-8) * (1.0 / 127.0)
     hq2 = jnp.clip(jnp.round(h / sx2), -127, 127).astype(jnp.int8)
@@ -104,7 +113,8 @@ def _const_spec(shape):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "tile_m", "interpret", "pre_ln", "post_ln")
+    jax.jit,
+    static_argnames=("eps", "tile_m", "interpret", "pre_ln", "post_ln", "gelu_mode"),
 )
 def fused_mlp_block(
     x: jax.Array,  # [B, S, D] or [M, D]
@@ -119,6 +129,7 @@ def fused_mlp_block(
     interpret: bool = False,
     pre_ln: bool = True,
     post_ln: bool = False,
+    gelu_mode: str = "erf",  # "erf" (exact) | "sigmoid" (fast approx)
 ) -> jax.Array:
     """One fused [LN→]MLP→residual[→LN] block.  ``w1``/``w2`` are either bf16
     kernels or ``(int8 weights, per-channel f32 scales)`` tuples.
@@ -130,6 +141,7 @@ def fused_mlp_block(
     sublane-unaligned [B, 197, D] — measured 3.0 vs 1.9 ms/layer for the
     flattened 2-D tiling, so flattening stays.)"""
     assert not (pre_ln and post_ln)
+    gelu_fn = _gelu_sigmoid if gelu_mode == "sigmoid" else _gelu
     # Pallas TPU kernels run in interpreter mode on the CPU backend (tests /
     # virtual meshes) transparently.
     interpret = interpret or jax.default_backend() == "cpu"
@@ -141,6 +153,9 @@ def fused_mlp_block(
     xf = x.reshape(-1, d)
     m = xf.shape[0]
     tile = min(tile_m, m)
+    # (A divisor-tile variant — tile=1576 at B=256, no pad copy — measured
+    # 5% WORSE end-to-end: the [1576, 4D] f32 intermediate hurts the grid
+    # pipeline more than the pad copy costs.  Padding stays.)
     pad = (-m) % tile
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
@@ -153,7 +168,9 @@ def fused_mlp_block(
     if int8:
         (w1q, s1), (w2q, s2) = w1, w2
         out = pl.pallas_call(
-            functools.partial(_kernel_int8, eps=eps, pre_ln=pre_ln, post_ln=post_ln),
+            functools.partial(
+                _kernel_int8, eps=eps, pre_ln=pre_ln, post_ln=post_ln, gelu_fn=gelu_fn
+            ),
             grid=grid,
             in_specs=[
                 xs,
@@ -173,7 +190,9 @@ def fused_mlp_block(
         )(xf, w1q, w2q, s1.astype(jnp.float32), s2.astype(jnp.float32), lns, lnb, b1f, b2f)
     else:
         out = pl.pallas_call(
-            functools.partial(_kernel_bf16, eps=eps, pre_ln=pre_ln, post_ln=post_ln),
+            functools.partial(
+                _kernel_bf16, eps=eps, pre_ln=pre_ln, post_ln=post_ln, gelu_fn=gelu_fn
+            ),
             grid=grid,
             in_specs=[
                 xs,

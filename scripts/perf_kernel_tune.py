@@ -73,6 +73,14 @@ def main():
                 eps=ECFG.layer_norm_eps, tile_m=t,
             ),
         )
+    report(
+        "mlp gelu=sigmoid tile=512",
+        lambda x: fused_mlp_block(
+            x, LP0["ln2"]["scale"], LP0["ln2"]["bias"],
+            w1, fc1["bias"], w2, fc2["bias"],
+            eps=ECFG.layer_norm_eps, gelu_mode="sigmoid",
+        ),
+    )
     for g in (2, 4, 8):
         report(
             f"merged layer group={g}",

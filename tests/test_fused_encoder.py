@@ -99,6 +99,28 @@ def test_int8_merged_layer_close(cfg, params):
     assert err.max() < 0.08, err.max()  # int8 quantization noise bound
 
 
+def test_sigmoid_gelu_int8_greedy_tokens_match(cfg, params):
+    """gelu_mode="sigmoid" (fast VPU approx) on the int8 fused serving path
+    still emits the same greedy tokens as the exact-GELU f32 reference —
+    the approximation error (~0.02) sits below the int8 activation
+    quantization step."""
+    import jax.numpy as jnp
+    from manga_ocr_tpu.models import model as mdl_
+
+    px = _pixels(cfg, n=4, seed=11)
+    ref = mdl_.ocr_forward(params, px, cfg, max_length=12)
+    qparams = dict(params)
+    qparams["encoder"] = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    scfg = dataclasses.replace(
+        cfg,
+        encoder=_enc_cfg(
+            cfg, mlp_kernel="fused", attn_kernel="fused_layer", gelu_mode="sigmoid"
+        ),
+    )
+    got = mdl_.ocr_forward(qparams, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+
+
 def test_int8_serving_greedy_tokens_match(cfg, params):
     """End-to-end greedy decode: the quantized fused serving path (int8 MLP
     AND int8 attention projections, fused_layer kernel) must emit the same
