@@ -412,6 +412,7 @@ def fused_attn_layer(
         in_specs=[xs] + [cw] * 4 + [cv] * 10,
         out_specs=xs,
         out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * sp * d * d * 4 + 2 * 2 * b * num_heads * sp * sp * dh,

@@ -1,0 +1,71 @@
+"""Attn-layer group sweep with the raised VMEM cap, measured in the REAL
+context: a 12-layer stacked-weight scan (fixed-weight single-kernel numbers
+proved optimistic — see scripts/perf_compose.py findings in PERF.md).
+
+Usage: python scripts/perf_attn_group.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.utils import jax_cache
+
+jax_cache.enable()
+
+from perf_util import op_ms  # noqa: E402
+
+from manga_ocr_tpu.engine.engine import _cast_quantized  # noqa: E402
+from manga_ocr_tpu.models import model as mdl  # noqa: E402
+from manga_ocr_tpu.models import vit  # noqa: E402
+from manga_ocr_tpu.models.config import MangaOCRConfig  # noqa: E402
+from manga_ocr_tpu.models.quantize import quantize_encoder  # noqa: E402
+from manga_ocr_tpu.ops.flash_attention import fused_attn_layer  # noqa: E402
+
+B = 256
+CFG = MangaOCRConfig.serving()
+P32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
+PARAMS = mdl.cast_params(P32, jnp.bfloat16)
+PARAMS["encoder"] = _cast_quantized(
+    quantize_encoder(P32["encoder"], quantize_attn_proj=True), jnp.bfloat16
+)
+ECFG = CFG.encoder
+ENC = PARAMS["encoder"]
+X = jax.random.normal(
+    jax.random.PRNGKey(2), (B, ECFG.seq_len, ECFG.hidden_size), jnp.bfloat16
+)
+
+
+def scan12_layer(group):
+    def body(x):
+        def step(c, lp):
+            c = fused_attn_layer(
+                c, lp["attn"], lp["ln1"]["scale"], lp["ln1"]["bias"],
+                ECFG.num_heads, eps=ECFG.layer_norm_eps, group=group,
+            )
+            return vit._mlp(c, lp, ECFG), None
+
+        y, _ = jax.lax.scan(step, x, ENC["layers"])
+        return y
+
+    return body
+
+
+def main():
+    for g in (4, 8, 16, 32):
+        try:
+            ms = op_ms(scan12_layer(g), X, n1=2, n2=6, iters=4)
+            print(f"scan12 attn group={g:3d}  {ms:8.3f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"scan12 attn group={g:3d}  FAILED {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
