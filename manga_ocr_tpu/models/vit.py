@@ -83,7 +83,7 @@ def encoder_block(
         from manga_ocr_tpu.ops.flash_attention import fused_encoder_layer
 
         return fused_encoder_layer(
-            x, lp, cfg.num_heads, eps=cfg.layer_norm_eps
+            x, lp, cfg.num_heads, eps=cfg.layer_norm_eps, gelu_mode=cfg.gelu_mode
         )
     if cfg.attn_kernel == "fused_layer":
         from manga_ocr_tpu.ops.flash_attention import fused_attn_layer

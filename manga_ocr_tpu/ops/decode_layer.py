@@ -43,20 +43,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from manga_ocr_tpu.ops.kernel_utils import pick_group
+from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
+
 NEG_INF = -1e30
 
 
 def _ln32(x32, s_ref, b_ref, eps):
-    mu = jnp.mean(x32, -1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
-    return (x32 - mu) * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
+    from manga_ocr_tpu.ops.kernel_utils import ln32
 
-
-def _quant_rows(h32):
-    amax = jnp.max(jnp.abs(h32), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    hq = jnp.clip(jnp.round(h32 / sx), -127, 127).astype(jnp.int8)
-    return hq, sx
+    return ln32(x32, s_ref[:], b_ref[:], eps)
 
 
 def _proj(h32, w_ref, s_ref, b_ref, int8: bool, dt):
@@ -108,13 +104,15 @@ def _self_attn_kernel(
     k = qkv[:, d : 2 * d].astype(dt)
     v = qkv[:, 2 * d :].astype(dt)
 
-    # cache passthrough + the new row at sublane index `step` ([g, D] store)
-    cko_ref[:] = ck_ref[:]
-    cvo_ref[:] = cv_ref[:]
+    # the cache outputs ALIAS the inputs (input_output_aliases below), so
+    # only the new row is written — no full-cache passthrough copy, which
+    # would cost ~2x cache-size HBM traffic per layer per step (at the
+    # engine's max_length=300 that is ~944 MB/token for the 2-layer decoder)
+    del ck_ref, cv_ref
     cko_ref[step, :, :] = k
     cvo_ref[step, :, :] = v
 
-    t_len = ck_ref.shape[0]
+    t_len = cko_ref.shape[0]
     g = x.shape[0]
     seg = seg_ref[:]  # [D, H] f32
     ck = cko_ref[:].astype(jnp.float32)  # [T, g, D]
@@ -160,9 +158,7 @@ def fused_self_attn_step(
     b, d = x.shape
     t_len = cache_k.shape[0]
     dh = d // num_heads
-    group = max(1, min(group, b))
-    while b % group:
-        group //= 2
+    group = pick_group(b, group)
 
     int8_w = "w_q" in p["q"]
     dt = x.dtype
@@ -215,6 +211,9 @@ def fused_self_attn_step(
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
         ),
+        # cache_k/cache_v (positions 11/12 incl. the scalar-prefetch arg)
+        # alias cache outputs 1/2: the kernel writes only the new K/V row
+        input_output_aliases={11: 1, 12: 2},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
@@ -302,9 +301,7 @@ def fused_cross_attn_step(
     b, d = x.shape
     s_len = cross_k.shape[1]
     dh = d // num_heads
-    group = max(1, min(group, b))
-    while b % group:
-        group //= 2
+    group = pick_group(b, group)
 
     int8_w = "w_q" in p["q"]
     int8_kv = cross_k.dtype == jnp.int8
@@ -315,6 +312,9 @@ def fused_cross_attn_step(
     else:
         wq, sq = p["q"]["kernel"].astype(dt), jnp.ones((d,), jnp.float32)
         wo, so = p["o"]["kernel"].astype(dt), jnp.ones((d,), jnp.float32)
+    # NB: the bf16-KV mode still streams these (all-ones) scale blocks —
+    # ~1 MB/step/layer of avoidable traffic.  Only the int8 serving layout
+    # is perf-relevant, so the uniform kernel arity is kept for simplicity.
     if k_scale is None:
         k_scale = jnp.ones((b, s_len), jnp.float32)
     if v_scale is None:

@@ -230,17 +230,9 @@ def mha_packed(
 # ---------------------------------------------------------------------------
 
 
-def _ln32(x, s, b, eps):
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, -1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
-    return (x32 - mu) * jax.lax.rsqrt(var + eps) * s + b
-
-
-def _quant_rows(x32):
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    return jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8), sx
+from manga_ocr_tpu.ops.kernel_utils import gelu_fn as _gelu_fn
+from manga_ocr_tpu.ops.kernel_utils import ln32 as _ln32
+from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
 
 
 def _attn_core(
@@ -282,7 +274,9 @@ def _attn_core(
     k = proj(wk_ref, sk_ref, bk_ref, hq, sx)
     v = proj(wv_ref, sv_ref, bv_ref, hq, sx)
 
-    masked = valid_len < sp  # static; with unpadded blocks the mask is moot
+    # static; with unpadded blocks (every current caller) the mask is moot —
+    # kept for padded-sequence callers
+    masked = valid_len < sp
     if masked:
         col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
         keep = col < valid_len
@@ -452,19 +446,6 @@ def mha_fused(
 # ---------------------------------------------------------------------------
 
 
-def _gelu32(x):
-    """Exact-GELU via the A&S erf polynomial (|err| < 1.5e-7; Mosaic has no
-    erf lowering)."""
-    z = x * 0.7071067811865476  # erf argument is x / sqrt(2)
-    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(z))
-    poly = (
-        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t
-        + 0.254829592
-    ) * t
-    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-z * z))
-    return 0.5 * x * (1.0 + erf)
-
-
 def _enc_layer_kernel(
     x_ref,
     wq_ref, wk_ref, wv_ref, wo_ref,
@@ -481,6 +462,7 @@ def _enc_layer_kernel(
     heads: int,
     dh: int,
     int8: bool,
+    gelu,
 ):
     x2 = _attn_core(
         x_ref[:],
@@ -498,7 +480,7 @@ def _enc_layer_kernel(
             hq, w1_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
-        h = _gelu32(h)
+        h = gelu(h)
         hq2, sx2 = _quant_rows(h)
         acc2 = jax.lax.dot_general(
             hq2, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -509,7 +491,7 @@ def _enc_layer_kernel(
             jnp.dot(h32.astype(x2.dtype), w1_ref[:], preferred_element_type=jnp.float32)
             + b1_ref[:]
         )
-        h = _gelu32(h).astype(x2.dtype)
+        h = gelu(h).astype(x2.dtype)
         out = (
             jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
         )
@@ -517,7 +499,7 @@ def _enc_layer_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "interpret", "group")
+    jax.jit, static_argnames=("num_heads", "eps", "interpret", "group", "gelu_mode")
 )
 def fused_encoder_layer(
     x: jax.Array,  # [B, S, D]
@@ -526,6 +508,7 @@ def fused_encoder_layer(
     eps: float = 1e-12,
     interpret: bool = False,
     group: int = 2,
+    gelu_mode: str = "erf",
 ) -> jax.Array:
     """One whole pre-LN ViT block — x += Attn(LN1(x)); x += MLP(LN2(x)) —
     as ONE kernel: the [B, S, D] residual stream reads/writes HBM once per
@@ -563,6 +546,7 @@ def fused_encoder_layer(
     kernel = functools.partial(
         _enc_layer_kernel,
         eps=eps, valid_len=s, heads=num_heads, dh=dh, int8=int8,
+        gelu=_gelu_fn(gelu_mode),
     )
     return pl.pallas_call(
         kernel,

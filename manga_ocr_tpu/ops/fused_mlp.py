@@ -23,33 +23,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _erf(x):
-    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
-    y = 1.0 - (
-        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t
-        + 0.254829592
-    ) * t * jnp.exp(-x * x)
-    return jnp.sign(x) * y
-
-
-def _gelu(x):
-    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
-
-
-def _gelu_sigmoid(x):
-    """x * sigmoid(1.702 x) — max abs error ~0.02, below the int8 per-row
-    quantization step for typical activations; ~6 VPU ops vs ~20 for the
-    erf polynomial (the GELU pass is ~0.46 ms/layer of pure VPU time at
-    B=256)."""
-    return x / (1.0 + jnp.exp(-1.702 * x))
-
-
-def _ln32(x, s, b, eps):
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, -1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
-    return (x32 - mu) * jax.lax.rsqrt(var + eps) * s + b
+from manga_ocr_tpu.ops.kernel_utils import gelu_fn as _gelu_fn
+from manga_ocr_tpu.ops.kernel_utils import ln32 as _ln32
+from manga_ocr_tpu.ops.kernel_utils import quant_rows
 
 
 def _kernel_bf16(
@@ -86,18 +62,14 @@ def _kernel_int8(
 ):
     x = x_ref[:]
     h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps) if pre_ln else x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(h32), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    hq = jnp.clip(jnp.round(h32 / sx), -127, 127).astype(jnp.int8)
+    hq, sx = quant_rows(h32)
     cdim = hq.ndim - 1  # contract last dim (2-D [M,D] or 3-D [gb,S,D] blocks)
     acc = jax.lax.dot_general(
         hq, w1_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
     h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
     h = gelu_fn(h)
-    amax2 = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
-    sx2 = jnp.maximum(amax2, 1e-8) * (1.0 / 127.0)
-    hq2 = jnp.clip(jnp.round(h / sx2), -127, 127).astype(jnp.int8)
+    hq2, sx2 = quant_rows(h)
     acc2 = jax.lax.dot_general(
         hq2, w2_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -141,7 +113,7 @@ def fused_mlp_block(
     sublane-unaligned [B, 197, D] — measured 3.0 vs 1.9 ms/layer for the
     flattened 2-D tiling, so flattening stays.)"""
     assert not (pre_ln and post_ln)
-    gelu_fn = _gelu_sigmoid if gelu_mode == "sigmoid" else _gelu
+    gelu_fn = _gelu_fn(gelu_mode)
     # Pallas TPU kernels run in interpreter mode on the CPU backend (tests /
     # virtual meshes) transparently.
     interpret = interpret or jax.default_backend() == "cpu"

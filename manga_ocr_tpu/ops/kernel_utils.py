@@ -1,0 +1,65 @@
+"""Shared numerics helpers for the Pallas TPU kernels.
+
+One home for the pieces every fused kernel needs — LN statistics, dynamic
+per-row int8 activation quantization, the GELU variants, and batch-group
+rounding — so a numerics fix lands once instead of in every kernel file.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ln32(x, scale, bias, eps):
+    """LayerNorm over the last axis with float32 statistics.  ``x`` may be
+    any float dtype; returns float32 (callers cast)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), -1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def quant_rows(h32):
+    """Dynamic per-row symmetric int8 quantization: [..., K] f32 ->
+    (int8 values, f32 row scales with keepdims)."""
+    amax = jnp.max(jnp.abs(h32), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    hq = jnp.clip(jnp.round(h32 / sx), -127, 127).astype(jnp.int8)
+    return hq, sx
+
+
+def erf_poly(x):
+    """Abramowitz–Stegun 7.1.26 erf polynomial (|err| <= 1.5e-7) — Mosaic
+    has no native erf lowering."""
+    t = 1.0 / (1.0 + 0.3275911 * jnp.abs(x))
+    y = 1.0 - (
+        ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t
+        + 0.254829592
+    ) * t * jnp.exp(-x * x)
+    return jnp.sign(x) * y
+
+
+def gelu_erf(x):
+    """Exact (erf) GELU via the polynomial — matches HF ViT/BERT defaults
+    to ~1e-7."""
+    return 0.5 * x * (1.0 + erf_poly(x * 0.7071067811865476))
+
+
+def gelu_sigmoid(x):
+    """x * sigmoid(1.702 x) — max abs error ~0.02, below the int8 per-row
+    activation quantization step for typical activations; ~6 VPU ops vs ~20
+    for the erf polynomial (measured 2.05 -> 1.04 ms/layer at B=256)."""
+    return x / (1.0 + jnp.exp(-1.702 * x))
+
+
+def gelu_fn(mode: str):
+    return gelu_sigmoid if mode == "sigmoid" else gelu_erf
+
+
+def pick_group(b: int, group: int) -> int:
+    """Largest batch-chunk size <= group that divides b."""
+    group = max(1, min(group, b))
+    while b % group:
+        group //= 2
+    return group

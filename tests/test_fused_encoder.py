@@ -121,6 +121,22 @@ def test_sigmoid_gelu_int8_greedy_tokens_match(cfg, params):
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
 
 
+def test_sigmoid_gelu_bf16_greedy_tokens_match(cfg, params):
+    """gelu_mode="sigmoid" also holds greedy-token parity on the
+    UNQUANTIZED fused path — covers users driving MangaOCRConfig.serving()
+    with bf16/f32 params directly (the engine only enables sigmoid with
+    int8, but serving() sets it unconditionally)."""
+    from manga_ocr_tpu.models import model as mdl_
+
+    px = _pixels(cfg, n=4, seed=13)
+    ref = mdl_.ocr_forward(params, px, cfg, max_length=12)
+    scfg = dataclasses.replace(
+        cfg, encoder=_enc_cfg(cfg, mlp_kernel="fused", gelu_mode="sigmoid")
+    )
+    got = mdl_.ocr_forward(params, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+
+
 def test_int8_serving_greedy_tokens_match(cfg, params):
     """End-to-end greedy decode: the quantized fused serving path (int8 MLP
     AND int8 attention projections, fused_layer kernel) must emit the same
