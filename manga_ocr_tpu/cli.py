@@ -152,7 +152,10 @@ def cmd_process(args) -> int:
         if detector is not None:
             detections = detector.detect_bubbles(page)
             job_settings = settings.as_dict()
-            if job_settings.get("auto_split_bubbles", settings.get("ocr.auto_split_bubbles", True)):
+            # auto_split_bubbles is a per-job UI-checkbox key in the
+            # reference (get_current_settings, main_window.py:4946), not a
+            # settings.json key — the CLI flag is the checkbox analog
+            if job_settings.get("auto_split_bubbles", not args.no_split_bubbles):
                 from manga_ocr_tpu.detect import postprocess as _post
 
                 detections = _post.split_extended_bubbles(detections)
@@ -214,6 +217,12 @@ def main(argv=None) -> int:
     p_proc.add_argument("--provider", default="gemini")
     p_proc.add_argument("--target-lang", default="English")
     p_proc.add_argument("--enhanced", action="store_true", help="dual-pass OCR")
+    p_proc.add_argument(
+        "--no-split-bubbles",
+        action="store_true",
+        help="disable the reference's auto_split_bubbles rule (UI checkbox "
+        "analog, main_window.py:4946)",
+    )
     p_proc.add_argument("--format", default="PNG")
     p_proc.set_defaults(fn=cmd_process)
 

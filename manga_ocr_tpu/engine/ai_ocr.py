@@ -98,9 +98,9 @@ class AiOcrEngine:
 
     # -- cache ------------------------------------------------------------------
 
-    def _cache_key(self, image_bytes: bytes, prompt: str) -> str:
+    def _cache_key(self, image_bytes: bytes, prompt: str, model: str) -> str:
         return hashlib.md5(
-            image_bytes + prompt.encode() + self.model.encode()
+            image_bytes + prompt.encode() + model.encode()
         ).hexdigest()
 
     def _cache_get(self, key: str) -> str | None:
@@ -124,11 +124,11 @@ class AiOcrEngine:
 
     # -- payload variants ----------------------------------------------------------
 
-    def _payload_variants(self, data_url: str, prompt: str) -> list[dict]:
+    def _payload_variants(self, data_url: str, prompt: str, model: str) -> list[dict]:
         tokens_key = (
-            "max_completion_tokens" if self.model.startswith("gpt-5") else "max_tokens"
+            "max_completion_tokens" if model.startswith("gpt-5") else "max_tokens"
         )
-        common = {"model": self.model, tokens_key: self.max_output_tokens}
+        common = {"model": model, tokens_key: self.max_output_tokens}
         return [
             {  # OpenAI vision: image_url content block
                 **common,
@@ -166,35 +166,38 @@ class AiOcrEngine:
         settings = settings or {}
         lang = str(settings.get("ocr_lang", "ja"))
         prompt = settings.get("ai_ocr_prompt") or ocr_prompt(lang)
-        # The job dict carries the selected AI-OCR model/provider (the
-        # reference's combo payload: get_current_settings keys).
-        model_override = settings.get("ocr_ai_model_id") or settings.get(
-            "ocr_ai_model_name"
+        # The job dict carries the selected AI-OCR model (the reference's
+        # combo payload: get_current_settings keys).  Per-job overrides stay
+        # LOCAL — mutating self.model would leak one job's selection into
+        # every later job and race under the reference's 15-thread worker
+        # pattern (and poison the md5 cache key).
+        model = (
+            settings.get("ocr_ai_model_id")
+            or settings.get("ocr_ai_model_name")
+            or self.model
         )
-        if model_override:
-            self.model = model_override
-        # provider selection (instances are URL-bound; recorded for dumps)
-        self.provider = settings.get("ocr_ai_provider") or getattr(
-            self, "provider", None
-        )
+        # provider selects the payload dialect (the URL heuristic remains
+        # the fallback); read per-job, never stored on self
+        provider = str(settings.get("ocr_ai_provider", "")).lower()
         try:
             data_url = _png_data_url(cv_bgr_image)
         except Exception as e:
             return _err(f"encode: {e}")
         image_bytes = data_url.encode()
-        key = self._cache_key(image_bytes, prompt)
+        key = self._cache_key(image_bytes, prompt, model)
         cached = self._cache_get(key)
         if cached is not None:
             return cached
 
-        if "generativelanguage" in self.url:  # Gemini inline_data path
+        if "gemini" in provider or "generativelanguage" in self.url:
+            # Gemini inline_data path
             return self._call_gemini(cv_bgr_image, prompt, key)
 
         headers = {}
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"
         last_error = "no payload variant accepted"
-        for payload in self._payload_variants(data_url, prompt):
+        for payload in self._payload_variants(data_url, prompt, model):
             try:
                 resp = robust_post(
                     self.url,

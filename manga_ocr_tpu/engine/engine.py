@@ -319,10 +319,22 @@ class TpuMangaOcrEngine:
                 for n in (batch_sizes or batching.BATCH_SCHEDULE[:1])
             ]
         for hw, n in pairs:
+            if n % self._batch_multiple:
+                n += self._batch_multiple - n % self._batch_multiple
             dummy = np.zeros((n, hw[0], hw[1], 3), np.uint8)
             sizes = np.full((n, 2), hw, np.int32)
             fn = self._bucket_fn(hw)
-            out = fn(self.params, jnp.asarray(dummy), jnp.asarray(sizes))
+            # place inputs exactly as ocr_page will (sharded under a mesh):
+            # jit keys compiled executables on input shardings, so warming
+            # with default placement would not cover the sharded dispatches
+            if self._batch_sharding is not None:
+                args = (
+                    jax.device_put(dummy, self._batch_sharding),
+                    jax.device_put(sizes, self._batch_sharding),
+                )
+            else:
+                args = (jnp.asarray(dummy), jnp.asarray(sizes))
+            out = fn(self.params, *args)
             np.asarray(out.lengths)  # host readback forces completion
             self._warmed.add((hw, n))
 

@@ -31,17 +31,26 @@ def _err(msg: str) -> str:
 
 
 def _latin_preprocess(image: np.ndarray, settings: dict) -> np.ndarray:
-    """Binarize via the jitted preprocessing graph for Latin OCR engines."""
+    """Binarize via the jitted preprocessing graph for Latin OCR engines.
+
+    The Vertical/Horizontal 90° rule is applied HOST-SIDE (the frame swaps
+    h/w, like the reference's ``cv2.rotate``) — the in-graph rotation keeps
+    the static frame and would clip a wide crop rotated to vertical.  The
+    graph then only runs skew detection (Auto) or none."""
     import jax.numpy as jnp
 
     from manga_ocr_tpu.ops import preprocess as pp
+    from manga_ocr_tpu.parallel import batching
 
+    setting = str(settings.get("orientation", "Auto-Detect"))
     orientation = {
         "Auto-Detect": pp.ORIENT_AUTO,
         "Vertical": pp.ORIENT_VERTICAL,
         "Horizontal": pp.ORIENT_HORIZONTAL,
-    }.get(str(settings.get("orientation", "Auto-Detect")), pp.ORIENT_AUTO)
-    out, _ = pp.ocr_preprocess(jnp.asarray(image[None]), orientation=orientation)
+    }.get(setting, pp.ORIENT_AUTO)
+    image = batching.orient_crop(image, orientation)
+    graph_orient = pp.ORIENT_AUTO if orientation == pp.ORIENT_AUTO else pp.ORIENT_NONE
+    out, _ = pp.ocr_preprocess(jnp.asarray(image[None]), orientation=graph_orient)
     return np.asarray(out[0])
 
 

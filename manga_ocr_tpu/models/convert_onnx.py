@@ -252,13 +252,24 @@ class OnnxBubbleDetector:
 
     def __init__(self, graph: Graph, input_size: int | None = None):
         self.graph = graph
-        vi = graph.inputs[0] if graph.inputs else None
-        declared = None
+        # the image input is the first graph input that is NOT an
+        # initializer (exporters with keep_initializers_as_inputs=True list
+        # every weight tensor in graph.inputs too)
+        data_inputs = [
+            vi for vi in graph.inputs if vi.name not in graph.initializers
+        ]
+        vi = data_inputs[0] if data_inputs else None
+        self.input_name = vi.name if vi is not None else "input"
+        dh = dw = None
         if vi is not None and len(vi.shape) == 4:
             h, w = vi.shape[2], vi.shape[3]
             if h and w:
-                declared = int(h)
-        self.input_size = input_size or declared or 512  # reference fallback
+                dh, dw = int(h), int(w)  # may be non-square
+        if input_size:
+            dh = dw = int(input_size)
+        self.in_h = dh or 512  # reference fallback
+        self.in_w = dw or 512
+        self.input_size = self.in_h  # kept for back-compat with callers
         self._jitted = jax.jit(lambda feeds: run_graph(self.graph, feeds))
 
     @staticmethod
@@ -267,16 +278,16 @@ class OnnxBubbleDetector:
 
     def detect_bubble_mask(self, page_bgr: np.ndarray) -> np.ndarray:
         h, w = page_bgr.shape[:2]
-        s = self.input_size
         from PIL import Image
 
         rgb = np.asarray(
-            Image.fromarray(page_bgr[..., ::-1]).resize((s, s), Image.BILINEAR),
+            Image.fromarray(page_bgr[..., ::-1]).resize(
+                (self.in_w, self.in_h), Image.BILINEAR
+            ),
             np.float32,
         )
         x = jnp.asarray(rgb.transpose(2, 0, 1)[None] / 255.0)
-        name = self.graph.inputs[0].name if self.graph.inputs else "input"
-        out = np.asarray(self._jitted({name: x})[0], np.float32)
+        out = np.asarray(self._jitted({self.input_name: x})[0], np.float32)
         prob = out.squeeze()
         if prob.ndim != 2:
             prob = prob.reshape(prob.shape[-2], prob.shape[-1])

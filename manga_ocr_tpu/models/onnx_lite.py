@@ -190,17 +190,19 @@ def _parse_tensor(buf: bytes) -> Tensor:
                 pos = 0
                 while pos < len(val):
                     v, pos = _read_varint(val, pos)
-                    int32_data.append(v)
+                    # two's-complement sign fix (negative ints are encoded
+                    # as 64-bit varints) — same as the attribute parser
+                    int32_data.append(v if v < (1 << 63) else v - (1 << 64))
             else:
-                int32_data.append(val)
+                int32_data.append(val if val < (1 << 63) else val - (1 << 64))
         elif field == 7:
             if wt == 2:
                 pos = 0
                 while pos < len(val):
                     v, pos = _read_varint(val, pos)
-                    int64_data.append(v)
+                    int64_data.append(v if v < (1 << 63) else v - (1 << 64))
             else:
-                int64_data.append(val)
+                int64_data.append(val if val < (1 << 63) else val - (1 << 64))
         elif field == 8:
             name = val.decode("utf-8")
         elif field == 9:

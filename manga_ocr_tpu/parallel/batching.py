@@ -129,10 +129,19 @@ def bucket_crops(
 
     Every batch carries per-row valid (h, w) extents so downstream graphs
     (resize, histogram stats) operate on real pixels only — padding never
-    leaks into model inputs.  Crops larger than the largest bucket are
-    downscaled to fit (never truncated)."""
-    max_hw = max(buckets, key=lambda b: b[0] * b[1])
-    fitted = [fit_within(np.ascontiguousarray(c), *max_hw) for c in crops]
+    leaks into model inputs.  Crops that fit NO bucket are downscaled into
+    the bucket costing the least resolution (never truncated); crops that
+    fit any bucket are left at full resolution — downscaling into one
+    arbitrary max-area bucket would throw away resolution for e.g. a wide
+    400x800 crop that the equal-area (512, 1024) bucket holds exactly."""
+    fitted = []
+    for c in crops:
+        c = np.ascontiguousarray(c)
+        h, w = c.shape[:2]
+        if not any(h <= bh and w <= bw for bh, bw in buckets):
+            best = max(buckets, key=lambda b: min(b[0] / h, b[1] / w))
+            c = fit_within(c, *best)
+        fitted.append(c)
     groups: dict[tuple[int, int], list[int]] = {}
     for i, crop in enumerate(fitted):
         hw = pick_bucket(crop.shape[0], crop.shape[1], buckets)

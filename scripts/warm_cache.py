@@ -40,12 +40,23 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--verify", action="store_true", help="assert cache hits")
     p.add_argument("--quick", action="store_true", help="representative subset")
+    p.add_argument(
+        "--max-length",
+        type=int,
+        default=300,
+        help="must match the serving engine's max_length (cli/serve default "
+        "300) — each bucket program closes over it, so warming a different "
+        "value compiles programs production never dispatches",
+    )
     args = p.parse_args()
 
     t0 = time.time()
     params = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
     engine = TpuMangaOcrEngine(
-        params, MangaOCRConfig.base(), CharTokenizer.synthetic(), max_length=32
+        params,
+        MangaOCRConfig.base(),
+        CharTokenizer.synthetic(),
+        max_length=args.max_length,
     )
     engine.warmup(full=not args.quick)
     t_engine = time.time() - t0

@@ -163,3 +163,21 @@ def test_bubble_detector_from_onnx_checkpoint(model, tmp_path):
     assert mask.shape == (64, 48)
     dets = det.detect_pages([page, page])
     assert len(dets) == 2
+
+
+def test_tensor_parse_negative_varints():
+    """Negative values in varint-encoded int64_data/int32_data must be
+    two's-complement corrected (e.g. a Reshape shape initializer [-1, 256])
+    — previously only the attribute parser applied the fix."""
+    from manga_ocr_tpu.models import onnx_lite as ol
+
+    buf = bytearray()
+    ol._write_field(buf, 1, 0, 2)  # dims: 2
+    ol._write_field(buf, 2, 0, 7)  # data_type INT64
+    packed = bytearray()
+    ol._write_varint(packed, (-1) & ((1 << 64) - 1))
+    ol._write_varint(packed, 256)
+    ol._write_field(buf, 7, 2, bytes(packed))
+    ol._write_field(buf, 8, 2, b"shape")
+    t = ol._parse_tensor(bytes(buf))
+    assert t.array.tolist() == [-1, 256]
