@@ -247,6 +247,7 @@ def _attn_core(
     heads: int,
     dh: int,
     int8: bool,
+    batched_sdpa: bool = False,
 ):
     """x + Attention(LN(x)) on an in-VMEM [g, sp, d] value; shared by the
     attention-only and the merged attention+MLP layer kernels."""
@@ -281,35 +282,60 @@ def _attn_core(
         col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
         keep = col < valid_len
     scale = 1.0 / (dh**0.5)
-    ctx_rows = []
-    for b in range(g):
-        outs = []
+    if batched_sdpa:
+        # one batched dot per head (batch dim = g): halves the unrolled op
+        # count vs the per-(b, h) loop and runs softmax on [g, sp, sp]
+        ctx_heads = []
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
-            logits = (
-                jax.lax.dot_general(
-                    q[b, :, sl],
-                    k[b, :, sl],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )
+            logits = jax.lax.dot_general(
+                q[:, :, sl], k[:, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [g, sp, sp]
             if masked:
-                logits = jnp.where(keep, logits, NEG_INF)
+                logits = jnp.where(keep[None], logits, NEG_INF)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            outs.append(
+            ctx_heads.append(
                 jax.lax.dot_general(
-                    p.astype(x.dtype),
-                    v[b, :, sl],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    p.astype(x.dtype), v[:, :, sl],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )
+                )  # [g, sp, dh]
             )
-        ctx_rows.append(jnp.concatenate(outs, axis=-1))
-    ctx = jnp.stack(ctx_rows).reshape(g * sp, d)
+        ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(g * sp, d)
+    else:
+        ctx_rows = []
+        for b in range(g):
+            outs = []
+            for h in range(heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                logits = (
+                    jax.lax.dot_general(
+                        q[b, :, sl],
+                        k[b, :, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )
+                if masked:
+                    logits = jnp.where(keep, logits, NEG_INF)
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                p = jnp.exp(logits - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(
+                    jax.lax.dot_general(
+                        p.astype(x.dtype),
+                        v[b, :, sl],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            ctx_rows.append(jnp.concatenate(outs, axis=-1))
+        ctx = jnp.stack(ctx_rows).reshape(g * sp, d)
 
     if int8:
         cq, csx = _quant_rows(ctx)
@@ -338,6 +364,7 @@ def _attn_layer_kernel(
     heads: int,
     dh: int,
     int8: bool,
+    batched_sdpa: bool = False,
 ):
     o_ref[:] = _attn_core(
         x_ref[:],
@@ -346,11 +373,13 @@ def _attn_layer_kernel(
         bq_ref, bk_ref, bv_ref, bo_ref,
         lns_ref, lnb_ref,
         eps=eps, valid_len=valid_len, heads=heads, dh=dh, int8=int8,
+        batched_sdpa=batched_sdpa,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "interpret", "group")
+    jax.jit,
+    static_argnames=("num_heads", "eps", "interpret", "group", "batched_sdpa"),
 )
 def fused_attn_layer(
     x: jax.Array,  # [B, S, D]
@@ -361,6 +390,7 @@ def fused_attn_layer(
     eps: float = 1e-12,
     interpret: bool = False,
     group: int = 4,  # swept on v5e: 4 edges out 2 (1.38 vs 1.42 ms); 8 fails to compile
+    batched_sdpa: bool = False,
 ) -> jax.Array:
     """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
     all; projection matmuls on the int8 MXU path when params are quantized
@@ -399,6 +429,7 @@ def fused_attn_layer(
         heads=num_heads,
         dh=dh,
         int8=int8,
+        batched_sdpa=batched_sdpa,
     )
     out = pl.pallas_call(
         kernel,

@@ -42,12 +42,13 @@ X = jax.random.normal(
 )
 
 
-def scan12_layer(group):
+def scan12_layer(group, batched_sdpa=False):
     def body(x):
         def step(c, lp):
             c = fused_attn_layer(
                 c, lp["attn"], lp["ln1"]["scale"], lp["ln1"]["bias"],
                 ECFG.num_heads, eps=ECFG.layer_norm_eps, group=group,
+                batched_sdpa=batched_sdpa,
             )
             return vit._mlp(c, lp, ECFG), None
 
@@ -58,12 +59,13 @@ def scan12_layer(group):
 
 
 def main():
-    for g in (4, 8, 16, 32):
+    for g, bsd in ((4, False), (4, True), (8, True)):
+        label = f"group={g} sdpa={'batched' if bsd else 'loop'}"
         try:
-            ms = op_ms(scan12_layer(g), X, n1=2, n2=6, iters=4)
-            print(f"scan12 attn group={g:3d}  {ms:8.3f} ms", flush=True)
+            ms = op_ms(scan12_layer(g, bsd), X, n1=2, n2=6, iters=4)
+            print(f"scan12 attn {label:24s} {ms:8.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"scan12 attn group={g:3d}  FAILED {type(e).__name__}: {str(e)[:90]}",
+            print(f"scan12 attn {label:24s} FAILED {type(e).__name__}: {str(e)[:90]}",
                   flush=True)
 
 

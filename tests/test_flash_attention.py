@@ -80,3 +80,24 @@ def test_encoder_fused_flag_parity():
         )
     finally:
         fa.fused_attention = orig
+
+
+def test_batched_sdpa_matches_loop():
+    """The batched_sdpa variant of the fused attention layer is exactly
+    equivalent to the per-(b,h) loop formulation."""
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    import numpy as np
+
+    from manga_ocr_tpu.ops.flash_attention import fused_attn_layer
+
+    d, heads = 64, 4
+    mk = lambda k: {"kernel": jr.normal(k, (d, d)) * 0.1, "bias": jnp.zeros(d)}
+    ks = jr.split(jr.PRNGKey(0), 4)
+    p = {"q": mk(ks[0]), "k": mk(ks[1]), "v": mk(ks[2]), "o": mk(ks[3])}
+    x = jr.normal(jr.PRNGKey(5), (2, 7, d))
+    s, b = jnp.ones(d), jnp.zeros(d)
+    ref = fused_attn_layer(x, p, s, b, heads)
+    got = fused_attn_layer(x, p, s, b, heads, batched_sdpa=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
