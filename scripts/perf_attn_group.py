@@ -58,6 +58,36 @@ def scan12_layer(group, batched_sdpa=False):
     return body
 
 
+def scan12_mixed(attn_mode, mlp_mode):
+    """Decompose in-context costs: each half of the layer runs either the
+    Pallas serving kernel or the XLA reference math."""
+    import dataclasses
+
+    xcfg = dataclasses.replace(ECFG, attn_kernel="xla", mlp_kernel="xla")
+
+    def body(x):
+        def step(c, lp):
+            if attn_mode == "pallas":
+                c = fused_attn_layer(
+                    c, lp["attn"], lp["ln1"]["scale"], lp["ln1"]["bias"],
+                    ECFG.num_heads, eps=ECFG.layer_norm_eps,
+                )
+            else:
+                from manga_ocr_tpu.ops.common import layer_norm, mha
+
+                h = layer_norm(
+                    c, lp["ln1"]["scale"], lp["ln1"]["bias"], ECFG.layer_norm_eps
+                )
+                c = c + mha(h, h, lp["attn"], ECFG.num_heads)
+            cfg = ECFG if mlp_mode == "pallas" else xcfg
+            return vit._mlp(c, lp, cfg), None
+
+        y, _ = jax.lax.scan(step, x, ENC["layers"])
+        return y
+
+    return body
+
+
 def main():
     for g, bsd in ((4, False), (4, True), (8, True)):
         label = f"group={g} sdpa={'batched' if bsd else 'loop'}"
@@ -66,6 +96,15 @@ def main():
             print(f"scan12 attn {label:24s} {ms:8.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"scan12 attn {label:24s} FAILED {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+    for am, mm in (("pallas", "pallas"), ("pallas", "xla"), ("xla", "pallas"),
+                   ("xla", "xla")):
+        label = f"attn={am} mlp={mm}"
+        try:
+            ms = op_ms(scan12_mixed(am, mm), X, n1=2, n2=6, iters=4)
+            print(f"scan12 mixed {label:22s} {ms:8.3f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"scan12 mixed {label:22s} FAILED {type(e).__name__}: {str(e)[:90]}",
                   flush=True)
 
 
