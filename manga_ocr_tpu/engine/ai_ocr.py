@@ -44,16 +44,29 @@ def _png_data_url(image_bgr: np.ndarray) -> str:
 
 
 def ocr_prompt(lang: str = "ja") -> str:
-    """Language-specific OCR prompt (``_get_ai_ocr_prompt`` behavior)."""
+    """Language-specific OCR prompt.
+
+    Conveys the same output contract as the reference's
+    ``_get_ai_ocr_prompt`` (``main_window.py:9933-9998``) in fresh wording:
+    plain text only (no commentary/markdown), line breaks kept, punctuation
+    preserved, and — for Japanese — furigana or side notes rendered in
+    parentheses immediately after the kanji they annotate."""
     base = (
-        "Transcribe ALL text visible in this image exactly as written. "
-        "Reply with the transcription only — no commentary, no translation."
+        "Transcribe ALL text visible in this image exactly as written, in "
+        "natural reading order. Reply with the transcription only — no "
+        "commentary, no translation, no markdown or formatting symbols. "
+        "Keep the original line breaks and preserve all punctuation "
+        "(including ellipses)."
     )
     if lang.startswith("ja"):
         base += (
-            " The text is Japanese manga dialogue; read vertical text "
-            "top-to-bottom, right-to-left. When furigana appears beside a "
-            "kanji, output only the kanji (not the reading)."
+            " The text is Japanese; read vertical text top-to-bottom, "
+            "right-to-left. When furigana or a small side note accompanies a "
+            "kanji — whether written beside, above, or before it — output "
+            "the kanji followed by the note in parentheses, e.g. 漢字(note). "
+            "Unrelated annotations also go in parentheses. Never merge the "
+            "note and the kanji into one bracketed block, and never drop "
+            "ellipses (…)."
         )
     return base
 
@@ -176,9 +189,6 @@ class AiOcrEngine:
             or settings.get("ocr_ai_model_name")
             or self.model
         )
-        # provider selects the payload dialect (the URL heuristic remains
-        # the fallback); read per-job, never stored on self
-        provider = str(settings.get("ocr_ai_provider", "")).lower()
         try:
             data_url = _png_data_url(cv_bgr_image)
         except Exception as e:
@@ -189,7 +199,13 @@ class AiOcrEngine:
         if cached is not None:
             return cached
 
-        if "gemini" in provider or "generativelanguage" in self.url:
+        # The payload dialect is keyed on the instance URL only: the engine
+        # instance is URL-bound, so a per-job provider string mentioning
+        # "gemini" must NOT flip an OpenAI-style endpoint onto the Gemini
+        # inline_data/?key= path (it would fail every request).  Integration
+        # layers that switch providers swap the engine instance (URL + key)
+        # together.
+        if "generativelanguage" in self.url:
             # Gemini inline_data path
             return self._call_gemini(cv_bgr_image, prompt, key)
 

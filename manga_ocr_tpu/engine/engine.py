@@ -64,21 +64,41 @@ class TpuMangaOcrEngine:
         serving_kernels: bool | None = None,
         quantize_int8: bool | None = None,
     ):
-        """``mesh``: optional ``jax.sharding.Mesh`` — params are placed with
-        tensor-parallel shardings and every crop batch is sharded over the
-        data axis (ICI batch parallelism, SURVEY §5.8); None = single chip.
+        """``mesh``: optional ``jax.sharding.Mesh`` — every crop batch is
+        sharded over the data axis (ICI batch parallelism, SURVEY §5.8);
+        None = single chip.  With the fused serving kernels the mesh must be
+        data-parallel-only (params replicated, dispatch via ``shard_map``);
+        with ``serving_kernels=False`` a model axis > 1 additionally applies
+        tensor-parallel param shardings through the XLA path.
 
         ``serving_kernels``: use the fused Pallas encoder kernels (packed
-        attention + fused MLP; docs/PERF.md).  Defaults to on for
-        single-chip serving; off under a mesh (TP shardings of the fused
-        params are future work).  ``quantize_int8``: int8-quantize the
-        encoder MLP (W8A8, per-token/per-channel — greedy-token parity
-        covered by tests/test_fused_encoder.py); defaults to follow
+        attention + fused MLP; docs/PERF.md).  Defaults on — single chip AND
+        data-parallel meshes (the serving configuration is what multi-chip
+        deployments run).  Explicit capability check: the fused kernels hold
+        whole [D, D]/[D, 4D] weight blocks VMEM-resident and are not written
+        for tensor-parallel weight shardings, so ``serving_kernels=True``
+        with a model axis > 1 raises instead of silently downgrading.
+        ``quantize_int8``: int8-quantize the encoder (W8A8, per-token/
+        per-channel — greedy-token parity covered by
+        tests/test_fused_encoder.py); defaults to follow
         ``serving_kernels``."""
         import dataclasses as _dc
 
+        if mesh is not None:
+            from manga_ocr_tpu.parallel import mesh as meshlib
+
+            n_model = mesh.shape.get(meshlib.MODEL_AXIS, 1)
+        else:
+            n_model = 1
         if serving_kernels is None:
-            serving_kernels = mesh is None
+            serving_kernels = n_model == 1
+        if serving_kernels and n_model > 1:
+            raise ValueError(
+                "fused serving kernels support data-parallel meshes only "
+                f"(model axis size 1, got {n_model}); pass "
+                "serving_kernels=False to serve tensor-parallel through the "
+                "XLA path"
+            )
         if quantize_int8 is None:
             quantize_int8 = serving_kernels
         if serving_kernels:
@@ -107,7 +127,7 @@ class TpuMangaOcrEngine:
         self.dtype = dtype
         self.mesh = mesh
         self.params = mdl.cast_params(params, dtype)
-        if serving_kernels and quantize_int8 and mesh is None:
+        if serving_kernels and quantize_int8:
             from manga_ocr_tpu.models.quantize import quantize_decoder, quantize_encoder
 
             # quantize from the ORIGINAL (pre-cast) weights; int8 values and
@@ -125,10 +145,20 @@ class TpuMangaOcrEngine:
                 ),
                 "decoder": decoder_params,
             }
+        self._serving_kernels = serving_kernels
         if mesh is not None:
             from manga_ocr_tpu.parallel import mesh as meshlib
 
-            self.params = meshlib.shard_params(self.params, mesh)
+            if serving_kernels:
+                # data-parallel serving: params replicated on every chip,
+                # batch sharded; the Pallas kernels run per-device under
+                # shard_map (no collectives anywhere in the pipeline)
+                repl = meshlib.replicated(mesh)
+                self.params = jax.tree.map(
+                    lambda a: jax.device_put(a, repl), self.params
+                )
+            else:
+                self.params = meshlib.shard_params(self.params, mesh)
             self._batch_sharding = meshlib.batch_sharding(mesh)
             self._batch_multiple = mesh.shape[meshlib.DATA_AXIS]
         else:
@@ -151,14 +181,37 @@ class TpuMangaOcrEngine:
         if fn is None:
             cfg, max_len, dtype = self.cfg, self.max_length, self.dtype
 
-            @jax.jit
-            def run(params, crops_u8, sizes):
+            def run_core(params, crops_u8, sizes):
                 pixels = pp.model_preprocess(
                     crops_u8,
                     sizes=sizes,
                     image_size=cfg.encoder.image_size,
                 ).astype(dtype)
                 return mdl.ocr_forward(params, pixels, cfg, max_length=max_len)
+
+            if self.mesh is not None and self._serving_kernels:
+                # Pallas custom calls have no SPMD partitioning rules, so a
+                # plain jit under the mesh would replicate the kernels on
+                # every device.  shard_map runs the whole per-bucket program
+                # per-device on its local batch shard (replicated params,
+                # batch-dim in/out specs) — the data-parallel serving plan
+                # of SURVEY §5.8, collectives-free.
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from manga_ocr_tpu.parallel import mesh as meshlib
+
+                run = jax.jit(
+                    shard_map(
+                        run_core,
+                        mesh=self.mesh,
+                        in_specs=(P(), P(meshlib.DATA_AXIS), P(meshlib.DATA_AXIS)),
+                        out_specs=P(meshlib.DATA_AXIS),
+                        check_rep=False,
+                    )
+                )
+            else:
+                run = jax.jit(run_core)
 
             with self._lock:
                 fn = self._fns.setdefault(key, run)
@@ -318,9 +371,15 @@ class TpuMangaOcrEngine:
                 for hw in (bucket_hws or default)
                 for n in (batch_sizes or batching.BATCH_SCHEDULE[:1])
             ]
+        # round each requested batch up to the mesh multiple FIRST, then
+        # dedupe — [7, 8] on an 8-way mesh is one warm pair, not two
+        rounded = []
         for hw, n in pairs:
             if n % self._batch_multiple:
                 n += self._batch_multiple - n % self._batch_multiple
+            if (hw, n) not in rounded:
+                rounded.append((hw, n))
+        for hw, n in rounded:
             dummy = np.zeros((n, hw[0], hw[1], 3), np.uint8)
             sizes = np.full((n, 2), hw, np.int32)
             fn = self._bucket_fn(hw)

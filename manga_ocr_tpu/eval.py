@@ -46,9 +46,19 @@ def cer(hypothesis: str, reference: str) -> float:
     return levenshtein(hypothesis, reference) / len(reference)
 
 
-def load_fixtures(path: str) -> list[tuple[str, "object", str]]:
+def load_fixtures(path: str, manifest: dict | None = None) -> list[dict]:
+    """Fixture dicts: {name, crop, ref, orientation, kind, dual_ref?}.
+
+    ``manifest["items"]`` (scripts/make_fixtures.py) records each crop's
+    kind and orientation so eval exercises the reference's crop-preparation
+    contract — orientation rules, polygon-masked crops, dual-pass pairs —
+    not just the happy path (VERDICT r2 #8).  Directories without a
+    manifest default every crop to Vertical."""
     from manga_ocr_tpu.core.files import safe_open_image
 
+    meta = {}
+    if manifest:
+        meta = {it["name"]: it for it in manifest.get("items", [])}
     out = []
     for name in sorted(os.listdir(path)):
         if not name.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
@@ -61,26 +71,96 @@ def load_fixtures(path: str) -> list[tuple[str, "object", str]]:
         if img is None:
             continue
         with open(txt, encoding="utf-8") as f:
-            out.append((stem, img, f.read().strip()))
+            ref = f.read().strip()
+        item = {
+            "name": stem,
+            "crop": img,
+            "ref": ref,
+            "kind": meta.get(stem, {}).get("kind", "plain"),
+            "orientation": meta.get(stem, {}).get("orientation", "Vertical"),
+        }
+        dual = os.path.join(path, f"{stem}.dual.txt")
+        if os.path.exists(dual):
+            with open(dual, encoding="utf-8") as f:
+                item["dual_ref"] = f.read().strip()
+        out.append(item)
     return out
 
 
-def evaluate(ocr_page, fixtures: list) -> dict:
-    """ocr_page: batched engine entry; fixtures: (name, crop, reference)."""
+def _orient_code(name: str):
+    from manga_ocr_tpu.ops import preprocess as pp
+
+    return {
+        "Vertical": pp.ORIENT_VERTICAL,
+        "Horizontal": pp.ORIENT_HORIZONTAL,
+        "Auto-Detect": pp.ORIENT_AUTO,
+        "None": pp.ORIENT_NONE,
+    }.get(name, pp.ORIENT_VERTICAL)
+
+
+def evaluate(engine, fixtures: list) -> dict:
+    """``engine``: batched OCR engine (``ocr_page`` / ``ocr_page_dual``) or a
+    bare ``ocr_page`` callable (legacy); ``fixtures``: ``load_fixtures``
+    dicts.  Crops are dispatched batched per orientation (exactly the
+    serving path); dual-pass fixtures run through ``ocr_page_dual`` and
+    score both passes."""
     if not fixtures:
         return {"n": 0, "mean_cer": 0.0, "exact_match": 0.0}
-    crops = [f[1] for f in fixtures]
-    hyps = ocr_page(crops)
+    if not hasattr(engine, "ocr_page"):  # legacy: bare callable
+
+        class _Wrap:
+            def __init__(self, fn):
+                self.ocr_page = fn
+
+        engine = _Wrap(engine)
+
+    hyps: dict[int, str] = {}
+    dual_hyps: dict[int, str] = {}
+    dual_idx = [i for i, f in enumerate(fixtures) if "dual_ref" in f]
+    if dual_idx and hasattr(engine, "ocr_page_dual"):
+        pairs = engine.ocr_page_dual([fixtures[i]["crop"] for i in dual_idx])
+        for i, (raw, second) in zip(dual_idx, pairs):
+            hyps[i] = raw
+            dual_hyps[i] = second
+    rest = [i for i in range(len(fixtures)) if i not in hyps]
+    for orientation in sorted({fixtures[i]["orientation"] for i in rest}):
+        idxs = [i for i in rest if fixtures[i]["orientation"] == orientation]
+        try:
+            out = engine.ocr_page(
+                [fixtures[i]["crop"] for i in idxs], _orient_code(orientation)
+            )
+        except TypeError:  # legacy single-arg ocr_page
+            out = engine.ocr_page([fixtures[i]["crop"] for i in idxs])
+        hyps.update(dict(zip(idxs, out)))
+
     cers, exact, per_item = [], 0, []
-    for (name, _, ref), hyp in zip(fixtures, hyps):
-        c = cer(hyp, ref)
+    for i, f in enumerate(fixtures):
+        hyp = hyps[i]
+        c = cer(hyp, f["ref"])
         cers.append(c)
-        exact += hyp == ref
-        per_item.append({"name": name, "cer": round(c, 4), "ref": ref, "hyp": hyp})
+        exact += hyp == f["ref"]
+        row = {
+            "name": f["name"],
+            "kind": f["kind"],
+            "orientation": f["orientation"],
+            "cer": round(c, 4),
+            "ref": f["ref"],
+            "hyp": hyp,
+        }
+        if i in dual_hyps:
+            c2 = cer(dual_hyps[i], f["dual_ref"])
+            cers.append(c2)
+            exact += dual_hyps[i] == f["dual_ref"]
+            row["dual_cer"] = round(c2, 4)
+            row["dual_ref"] = f["dual_ref"]
+            row["dual_hyp"] = dual_hyps[i]
+        per_item.append(row)
+    n_scored = len(cers)
     return {
         "n": len(fixtures),
-        "mean_cer": round(sum(cers) / len(cers), 4),
-        "exact_match": round(exact / len(fixtures), 4),
+        "n_scored": n_scored,
+        "mean_cer": round(sum(cers) / n_scored, 4),
+        "exact_match": round(exact / n_scored, 4),
         "items": per_item,
     }
 
@@ -119,16 +199,19 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     engine = None
+    manifest = None
     manifest_path = os.path.join(args.fixtures, "manifest.json")
-    if not args.checkpoint and os.path.exists(manifest_path):
+    if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            engine = _engine_from_manifest(args.fixtures, json.load(f))
+            manifest = json.load(f)
+    if not args.checkpoint and manifest is not None:
+        engine = _engine_from_manifest(args.fixtures, manifest)
     if engine is None:
         from manga_ocr_tpu import cli
 
         engine = cli._build_engine(args)
-    fixtures = load_fixtures(args.fixtures)
-    report = evaluate(engine.ocr_page, fixtures)
+    fixtures = load_fixtures(args.fixtures, manifest)
+    report = evaluate(engine, fixtures)
     print(json.dumps(report, ensure_ascii=False, indent=2))
     return 0
 

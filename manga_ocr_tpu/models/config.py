@@ -32,9 +32,14 @@ class EncoderConfig:
     # from quantized params).  attn_kernel: "xla" | "packed" (fused SDPA
     # only) | "fused_layer" (LN + projections + SDPA + residual, one kernel)
     # | "merged_layer" (the WHOLE block — attention + MLP — in one kernel;
+    # mlp_kernel is ignored) | "stacked" (``stack_lpc`` whole blocks per
+    # kernel with VMEM-resident weight slabs — ops/encoder_stack.py;
     # mlp_kernel is ignored).
     mlp_kernel: str = "xla"
     attn_kernel: str = "xla"
+    # Layers per Pallas call for attn_kernel="stacked" (12 = whole encoder
+    # in ONE kernel; bounded by VMEM — int8 weights are ~7.1 MB/layer).
+    stack_lpc: int = 12
     # GELU inside the fused MLP kernel: "erf" (exact, ~20 VPU ops) |
     # "sigmoid" (x*sigmoid(1.702x), ~6 ops; |err| ~0.02 — below the int8
     # per-row activation quantization step, greedy-token parity tested).
@@ -105,23 +110,29 @@ class MangaOCRConfig:
         return MangaOCRConfig()
 
     @staticmethod
-    def serving() -> "MangaOCRConfig":
+    def serving(quantized: bool = True) -> "MangaOCRConfig":
         """``base()`` with the fused TPU serving kernels enabled: packed
         Pallas attention + fused MLP (int8 when the params are quantized via
         ``models.quantize.quantize_encoder``).  Parity tests use ``base()``;
-        this is the throughput configuration measured in docs/PERF.md."""
+        this is the throughput configuration measured in docs/PERF.md.
+
+        ``quantized`` declares whether the params will be int8-quantized
+        (the production serving path).  It gates the approximate sigmoid
+        GELU exactly as ``TpuMangaOcrEngine`` does: the ~0.02 abs error is
+        below the int8 per-row activation quantization step, but callers
+        serving unquantized bf16/f32 params keep exact erf."""
         base = MangaOCRConfig.base()
         return dataclasses.replace(
             base,
             encoder=dataclasses.replace(
                 base.encoder,
                 mlp_kernel="fused",
-                attn_kernel="fused_layer",
+                attn_kernel="fused_layer" if quantized else "packed",
                 # fast VPU GELU: 2.05 -> 1.04 ms/layer, error below the int8
                 # activation quantization step (token parity tested)
-                gelu_mode="sigmoid",
+                gelu_mode="sigmoid" if quantized else "erf",
             ),
-            decoder=dataclasses.replace(base.decoder, cross_kv_int8=True),
+            decoder=dataclasses.replace(base.decoder, cross_kv_int8=quantized),
         )
 
     @staticmethod

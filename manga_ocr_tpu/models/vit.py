@@ -143,6 +143,27 @@ def encode(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dtype)
 
+    if cfg.attn_kernel == "stacked":
+        # multi-layer resident-weight kernel: the whole stack (or VMEM-sized
+        # slabs of it) runs inside Pallas; no lax.scan, no per-layer
+        # kernel-boundary serialization (ops/encoder_stack.py)
+        from manga_ocr_tpu.ops.encoder_stack import encoder_stack
+
+        x = encoder_stack(
+            x,
+            params["layers"],
+            cfg.num_heads,
+            eps=cfg.layer_norm_eps,
+            lpc=cfg.stack_lpc,
+            gelu_mode=cfg.gelu_mode,
+        )
+        return layer_norm(
+            x,
+            params["final_ln"]["scale"],
+            params["final_ln"]["bias"],
+            cfg.layer_norm_eps,
+        )
+
     if unroll_layers:
         for i in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[i], params["layers"])

@@ -30,6 +30,42 @@ def test_engine_on_mesh_matches_single_device():
     assert single.ocr_page(crops) == sharded.ocr_page(crops)
 
 
+def test_engine_on_mesh_fused_serving_config_parity():
+    """VERDICT r2 #4: the OPTIMIZED (fused Pallas + int8) serving config must
+    run under a data-parallel mesh via shard_map with token parity vs
+    single-device — no silent downgrade to the XLA path."""
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(3))
+    tok = CharTokenizer.synthetic()
+    mesh = meshlib.make_mesh(n_data=8, n_model=1)
+    sharded = TpuMangaOcrEngine(
+        params, cfg, tok, max_length=8, dtype=jnp.float32, mesh=mesh
+    )
+    assert sharded._serving_kernels, "DP-only mesh must default to fused serving"
+    assert sharded.cfg.encoder.attn_kernel == "fused_layer"
+    single = TpuMangaOcrEngine(params, cfg, tok, max_length=8, dtype=jnp.float32)
+    crops = [_crop(40, 60, 10 + i) for i in range(5)]
+    assert single.ocr_page(crops) == sharded.ocr_page(crops)
+
+
+def test_engine_tp_mesh_with_serving_kernels_raises():
+    """Tensor-parallel + fused kernels is an explicit capability error, not a
+    silent downgrade."""
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(4))
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    with pytest.raises(ValueError, match="data-parallel"):
+        TpuMangaOcrEngine(
+            params, cfg, CharTokenizer.synthetic(), dtype=jnp.float32,
+            mesh=mesh, serving_kernels=True,
+        )
+    # default under a TP mesh: the XLA path, explicitly
+    eng = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), dtype=jnp.float32, mesh=mesh
+    )
+    assert not eng._serving_kernels
+
+
 def test_engine_mesh_odd_batch_padding():
     cfg = MangaOCRConfig.tiny()
     params = mdl.init_params(cfg, jax.random.PRNGKey(1))

@@ -16,14 +16,16 @@ def test_levenshtein_and_cer():
 
 def test_evaluate_reports():
     fixtures = [
-        ("a", np.zeros((4, 4, 3), np.uint8), "hello"),
-        ("b", np.zeros((4, 4, 3), np.uint8), "world"),
+        {"name": "a", "crop": np.zeros((4, 4, 3), np.uint8), "ref": "hello",
+         "kind": "plain", "orientation": "Vertical"},
+        {"name": "b", "crop": np.zeros((4, 4, 3), np.uint8), "ref": "world",
+         "kind": "plain", "orientation": "Vertical"},
     ]
 
-    def fake_ocr(crops):
+    def fake_ocr(crops, orientation=None):
         return ["hello", "w0rld"]
 
-    report = evaluate(fake_ocr, fixtures)
+    report = evaluate(fake_ocr, fixtures)  # legacy bare-callable engine
     assert report["n"] == 2
     assert report["exact_match"] == 0.5
     assert report["mean_cer"] == round((0.0 + 0.2) / 2, 4)
@@ -38,15 +40,18 @@ def test_load_fixtures(tmp_path):
     Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "no_txt.png")
     fx = load_fixtures(str(tmp_path))
     assert len(fx) == 1
-    assert fx[0][0] == "000" and fx[0][2] == "テスト"
+    assert fx[0]["name"] == "000" and fx[0]["ref"] == "テスト"
+    assert fx[0]["orientation"] == "Vertical"  # manifest-less default
 
 
 def test_committed_fixture_suite_end_to_end():
     """The committed fixture suite (tests/fixtures/eval) must evaluate to
     CER 0 / exact-match 1 with the manifest-described engine — proves the
-    eval harness plumbing end-to-end (VERDICT round-1 item #4).  The same
-    directory format accepts recorded reference-package outputs once a real
-    checkpoint is mountable."""
+    eval harness plumbing end-to-end (VERDICT round-1 item #4).  Since
+    round 3 the suite covers the crop-preparation contract surface:
+    orientation variants, polygon-masked crops, and dual-pass pairs
+    (VERDICT r2 #8).  The same directory format accepts recorded
+    reference-package outputs once a real checkpoint is mountable."""
     import json
     import os
 
@@ -54,10 +59,19 @@ def test_committed_fixture_suite_end_to_end():
 
     fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "eval")
     with open(os.path.join(fixdir, "manifest.json")) as f:
-        engine = _engine_from_manifest(fixdir, json.load(f))
+        manifest = json.load(f)
+    engine = _engine_from_manifest(fixdir, manifest)
     assert engine is not None
-    fixtures = load_fixtures(fixdir)
-    assert len(fixtures) == 8
-    report = evaluate(engine.ocr_page, fixtures)
+    fixtures = load_fixtures(fixdir, manifest)
+    assert len(fixtures) == 20
+    kinds = {f["kind"] for f in fixtures}
+    assert {"plain", "wide", "wide_h", "tall", "poly", "dual"} <= kinds
+    assert sum(1 for f in fixtures if "dual_ref" in f) == 2
+    assert {f["orientation"] for f in fixtures} == {
+        "Vertical", "Horizontal", "Auto-Detect"
+    }
+    report = evaluate(engine, fixtures)
+    assert report["n"] == 20
+    assert report["n_scored"] == 22  # dual fixtures score both passes
     assert report["mean_cer"] == 0.0
     assert report["exact_match"] == 1.0

@@ -180,8 +180,46 @@ def test_fused_attn_layer_matches_xla(cfg, params):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_stacked_encode_matches_xla(cfg, params):
+    """attn_kernel="stacked" (multi-layer resident-weight kernel) matches
+    the XLA reference encoder, at every slab size incl. a non-dividing one."""
+    px = _pixels(cfg)
+    ref = vit.encode(params["encoder"], px, _enc_cfg(cfg))
+    for lpc in (1, 2, 3):  # tiny cfg has 2 layers; 3 exercises the clamp
+        got = vit.encode(
+            params["encoder"], px,
+            _enc_cfg(cfg, attn_kernel="stacked", stack_lpc=lpc),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3,
+            err_msg=f"lpc={lpc}",
+        )
+
+
+def test_int8_stacked_greedy_tokens_match(cfg, params):
+    """Greedy-token parity of the int8 stacked-kernel serving path vs the
+    f32 XLA reference — same bar as the per-layer fused kernels."""
+    px = _pixels(cfg, n=4, seed=7)
+    ref = mdl.ocr_forward(params, px, cfg, max_length=12)
+    scfg = dataclasses.replace(
+        cfg,
+        encoder=_enc_cfg(
+            cfg, attn_kernel="stacked", stack_lpc=2, gelu_mode="sigmoid"
+        ),
+        decoder=dataclasses.replace(cfg.decoder, cross_kv_int8=True),
+    )
+    qparams = {
+        "encoder": quantize_encoder(params["encoder"], quantize_attn_proj=True),
+        "decoder": params["decoder"],
+    }
+    got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
 def test_engine_serving_kernels_default(cfg, params):
-    """Engine defaults: fused+int8 single-chip; raw XLA under a mesh."""
+    """Engine defaults: fused+int8 single-chip (and, since round 3, also
+    under data-parallel meshes — see test_engine_mesh.py)."""
     from manga_ocr_tpu.engine.engine import TpuMangaOcrEngine
     from manga_ocr_tpu.models.tokenizer import CharTokenizer
 
