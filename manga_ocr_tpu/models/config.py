@@ -84,7 +84,10 @@ class DecoderConfig:
     # Whole-layer decode-step kernel: "xla" (reference math, ~25 ops/layer)
     # | "fused_layer" (ops.decode_layer: self-attn + cache update +
     # cross-attn + MLP in ONE Pallas call per layer; requires int8-quantized
-    # decoder projections on TPU — ``models.quantize.quantize_decoder``).
+    # decoder projections on TPU — ``models.quantize.quantize_decoder``)
+    # | "fused_loop" (ops.decode_loop: the ENTIRE greedy loop in ONE Pallas
+    # call — batch-blocked grid, cross-KV slabs and the self-cache
+    # VMEM-resident, weights fetched once per dispatch).
     step_kernel: str = "xla"
     # Greedy LM head: "xla" (logits + argmax) | "fused" (ops.fused_head:
     # transform+GELU+LN+tiled vocab matmul+argmax in one kernel — the [B, V]

@@ -75,6 +75,18 @@ def greedy_decode(
     n_chunks = -(-(max_len - 1) // chunk_size)
     padded_len = 1 + n_chunks * chunk_size  # inner loop never goes OOB
 
+    if dcfg.step_kernel == "fused_loop" and stop_lengths is None:
+        # the ENTIRE greedy loop as ONE Pallas kernel (ops/decode_loop.py):
+        # batch-blocked grid, cross-KV slabs + self-cache VMEM-resident,
+        # weights fetched once — token-parity-tested vs this XLA path
+        from manga_ocr_tpu.ops.decode_loop import greedy_decode_loop
+
+        cross_packed = dec.precompute_cross_kv_packed(params["decoder"], enc_out, dcfg)
+        tokens, lengths = greedy_decode_loop(
+            params["decoder"], cross_packed, dcfg, steps=max_len - 1, dtype=dtype
+        )
+        return GreedyResult(tokens[:, :max_len], jnp.minimum(lengths, max_len))
+
     if dcfg.step_kernel == "fused_layer":
         # packed layouts for the fused step kernels (ops/decode_layer.py)
         cross_kv = dec.precompute_cross_kv_packed(params["decoder"], enc_out, dcfg)

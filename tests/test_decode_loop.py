@@ -1,0 +1,95 @@
+"""Token-exact parity of the whole-decode-loop mega-kernel
+(ops/decode_loop.py) against the XLA greedy decode, incl. the quantized
+serving form — same bar as every other fused path (interpret mode on CPU).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from manga_ocr_tpu.models import decoder as dec
+from manga_ocr_tpu.models import model as mdl
+from manga_ocr_tpu.models.config import MangaOCRConfig
+from manga_ocr_tpu.ops.decode_loop import greedy_decode_loop
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))
+    px = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, cfg.encoder.image_size, cfg.encoder.image_size, 3)
+    )
+    enc_out = mdl.encode(params, px, cfg)
+    return cfg, params, enc_out
+
+
+def test_loop_kernel_matches_xla_greedy(setup):
+    cfg, params, enc_out = setup
+    ref = mdl.greedy_decode(params, enc_out, cfg, max_length=12, chunk_size=12)
+    lcfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, step_kernel="fused_loop")
+    )
+    got = mdl.greedy_decode(params, enc_out, lcfg, max_length=12, chunk_size=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_loop_kernel_int8_serving_form(setup):
+    """int8 decoder weights + int8 cross-KV (the serving configuration the
+    kernel exists for) still emits the XLA f32 reference tokens."""
+    from manga_ocr_tpu.models.quantize import quantize_decoder
+
+    cfg, params, enc_out = setup
+    ref = mdl.greedy_decode(params, enc_out, cfg, max_length=12, chunk_size=12)
+    lcfg = dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(
+            cfg.decoder, step_kernel="fused_loop", cross_kv_int8=True
+        ),
+    )
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"])
+    got = mdl.greedy_decode(qparams, enc_out, lcfg, max_length=12, chunk_size=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_loop_kernel_eos_done_masking(setup):
+    """Rows that emit EOS flip to PAD and stop counting — checked by making
+    EOS the argmax for one row via a biased head."""
+    cfg, params, enc_out = setup
+    d = cfg.decoder
+    # bias the head so EVERY row emits EOS at the first step
+    biased = jax.tree.map(lambda a: a, params)  # shallow copy tree
+    head_bias = biased["decoder"]["head"]["proj"]["bias"]
+    biased["decoder"]["head"]["proj"] = dict(
+        biased["decoder"]["head"]["proj"],
+        bias=head_bias.at[d.eos_token_id].set(1e4),
+    )
+    lcfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(d, step_kernel="fused_loop")
+    )
+    out = mdl.greedy_decode(biased, enc_out, lcfg, max_length=12, chunk_size=12)
+    toks = np.asarray(out.tokens)
+    np.testing.assert_array_equal(toks[:, 0], d.bos_token_id)
+    np.testing.assert_array_equal(toks[:, 1], d.eos_token_id)
+    assert (toks[:, 2:] == d.pad_token_id).all()
+    np.testing.assert_array_equal(np.asarray(out.lengths), 2)
+
+
+def test_loop_kernel_direct_wrapper(setup):
+    """Direct greedy_decode_loop call returns (tokens [B, steps+1], lengths)
+    with BOS first."""
+    cfg, params, enc_out = setup
+    cross = dec.precompute_cross_kv_packed(params["decoder"], enc_out, cfg.decoder)
+    tokens, lengths = greedy_decode_loop(
+        params["decoder"], cross, cfg.decoder, steps=7, dtype=jnp.float32
+    )
+    assert tokens.shape == (4, 8)
+    assert (np.asarray(tokens)[:, 0] == cfg.decoder.bos_token_id).all()
+    assert np.asarray(lengths).min() >= 1
