@@ -90,14 +90,29 @@ class TpuMangaOcrEngine:
             n_model = mesh.shape.get(meshlib.MODEL_AXIS, 1)
         else:
             n_model = 1
+        # Mosaic lowers the fused kernels for lane-aligned production shapes;
+        # miniature configs (e.g. hidden 64 / 5-token sequences) hit
+        # unsupported shape casts on real TPUs.  CPU interpret mode (tests,
+        # virtual meshes) lowers everything.
+        shapes_ok = (
+            cfg.encoder.hidden_size % 128 == 0
+            and cfg.encoder.intermediate_size % 128 == 0
+        ) or jax.default_backend() == "cpu"
         if serving_kernels is None:
-            serving_kernels = n_model == 1
+            serving_kernels = n_model == 1 and shapes_ok
         if serving_kernels and n_model > 1:
             raise ValueError(
                 "fused serving kernels support data-parallel meshes only "
                 f"(model axis size 1, got {n_model}); pass "
                 "serving_kernels=False to serve tensor-parallel through the "
                 "XLA path"
+            )
+        if serving_kernels and not shapes_ok:
+            raise ValueError(
+                "fused serving kernels need lane-aligned dims on TPU "
+                f"(hidden {cfg.encoder.hidden_size} / intermediate "
+                f"{cfg.encoder.intermediate_size} must be multiples of 128); "
+                "pass serving_kernels=False for this config"
             )
         if quantize_int8 is None:
             quantize_int8 = serving_kernels

@@ -123,16 +123,16 @@ def _decode_loop_kernel(
         off += len(_LAYER_NAMES)
         layers.append((cross, lw))
     tok_ref, len_ref = args[off], args[off + 1]
-    caches = args[off + 2 :]  # [ck0, cv0, ck1, cv1, ...] VMEM scratch
+    caches = args[off + 2 : off + 2 + 2 * num_layers]  # ck/cv VMEM scratch
+    prev_ref, done_ref = args[off + 2 + 2 * num_layers :]  # [g, 1] i32 state
 
     seg = common["seg"][:]  # [D, H] f32
     segT_scale = 1.0 / (dh**0.5)
     d = seg.shape[0]
-    g = tok_ref.shape[1]
+    g = tok_ref.shape[0]
     dt = caches[0].dtype
     v = common["tok_emb"].shape[0]
 
-    tok_ref[0, :] = jnp.full((g,), bos, jnp.int32)
     # Zero the cache scratch once per program: masked softmax rows weight
     # unwritten cache entries by 0, but 0 x garbage (NaN in uninitialized
     # VMEM) is NaN — the ctx sum must see real zeros.
@@ -251,13 +251,28 @@ def _decode_loop_kernel(
             upd = mx > best
             best_idx = jnp.where(upd, am + j, best_idx)
             best = jnp.where(upd, mx, best)
-        return best_idx[:, 0]  # [g] int32
+        return best_idx  # [g, 1] int32 (2-D: 1-D loop carries hit Mosaic
+        # "invalid relayout" on i32 vectors)
 
-    def one_step(t, carry):
-        prev, done, lengths = carry
+    # Per-row decode state (prev token, done flag) lives in VMEM scratch and
+    # the outputs are read-modify-written per step: loop CARRIES of small
+    # i32 vectors hit Mosaic "invalid relayout" (carry layout unification),
+    # but loads/stores through memory don't need layout matching.  The token
+    # matrix accumulates via iota-masked adds — Mosaic's tiling also rejects
+    # (T, g)/(g, T) dynamic-index stores at these shapes, and a [g, T+1]
+    # masked add per step is a trivial VPU op.
+    t_cols = jax.lax.broadcasted_iota(jnp.int32, (g, steps + 1), 1)
+    prev_ref[:] = jnp.full((g, 1), bos, jnp.int32)
+    done_ref[:] = jnp.zeros((g, 1), jnp.int32)
+    len_ref[:] = jnp.ones((g, 1), jnp.int32)
+    tok_ref[:] = jnp.where(t_cols == 0, bos, 0).astype(jnp.int32)
+
+    def one_step(t, _):
+        prev = prev_ref[:]  # [g, 1] i32
+        done = done_ref[:] != 0
         # embedding via exact one-hot matmul (no gather)
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (g, v), 1) == prev[:, None]
+            jax.lax.broadcasted_iota(jnp.int32, (g, v), 1) == prev
         ).astype(dt)
         emb = jax.lax.dot_general(
             onehot, common["tok_emb"][:], (((1,), (0,)), ((), ())),
@@ -271,18 +286,15 @@ def _decode_loop_kernel(
             x = self_attn(x, t, lw, ck, cv)
             x = cross_attn(x, cross, lw)
             x = mlp(x, lw)
-        nxt = head_argmax(x)
+        nxt = head_argmax(x)  # [g, 1]
         nxt = jnp.where(done, pad, nxt)
-        newly = nxt == eos
-        tok_ref[t + 1, :] = nxt
-        lengths = lengths + jnp.where(done, 0, 1)
-        return nxt, jnp.logical_or(done, newly), lengths
+        tok_ref[:] = tok_ref[:] + jnp.where(t_cols == t + 1, nxt, 0)
+        len_ref[:] = len_ref[:] + jnp.where(done, 0, 1)
+        prev_ref[:] = nxt
+        done_ref[:] = jnp.logical_or(done, nxt == eos).astype(jnp.int32)
+        return 0
 
-    prev0 = jnp.full((g,), bos, jnp.int32)
-    done0 = jnp.zeros((g,), bool)
-    len0 = jnp.ones((g,), jnp.int32)
-    _, _, lengths = jax.lax.fori_loop(0, steps, one_step, (prev0, done0, len0))
-    len_ref[0, :] = lengths
+    jax.lax.fori_loop(0, steps, one_step, 0)
 
 
 def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
@@ -360,16 +372,17 @@ def _loop_call(
         grid=(batch // g,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((steps + 1, g), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, steps + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((steps + 1, batch), jnp.int32),
-            jax.ShapeDtypeStruct((1, batch), jnp.int32),
+            jax.ShapeDtypeStruct((batch, steps + 1), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((steps, g, d), dt) for _ in range(2 * num_layers)
-        ],
+        ]
+        + [pltpu.VMEM((g, 1), jnp.int32), pltpu.VMEM((g, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024
         ),
@@ -401,6 +414,21 @@ def greedy_decode_loop(
     int8_kv = cross.k_scale is not None
     layers = params_decoder["layers"]
     int8_w = "w_q" in layers["self_attn"]["q"]
+
+    # Auto-shrink the batch block so the resident set (double-buffered
+    # cross slabs + caches + weights/tables + transients) stays under the
+    # VMEM cap; long budgets (steps ~300) force smaller blocks.
+    s_enc = cross.k.shape[2]
+    kv_bytes = 1 if int8_kv else jnp.dtype(dt).itemsize
+    fixed = 60e6  # weights + embed/head tables + transients, roughly
+    while group > 8:
+        per_row = (
+            2 * cfg.num_layers * 2 * s_enc * d * kv_bytes  # cross, 2 buffers
+            + 2 * cfg.num_layers * steps * d * jnp.dtype(dt).itemsize  # caches
+        )
+        if fixed + group * per_row <= 110e6:
+            break
+        group //= 2
 
     head = params_decoder["head"]
     commons = (
@@ -458,7 +486,7 @@ def greedy_decode_loop(
             )
         )
 
-    tokens_tg, lengths_1b = _loop_call(
+    tokens_bt, lengths_b1 = _loop_call(
         commons, tuple(crosses), tuple(layer_ws),
         batch=batch, steps=steps, num_layers=cfg.num_layers,
         num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
@@ -466,4 +494,4 @@ def greedy_decode_loop(
         pad=cfg.pad_token_id, dt=dt, int8_w=int8_w, int8_kv=int8_kv,
         group=group, gelu_mode=gelu_mode, interpret=interpret,
     )
-    return tokens_tg.T, lengths_1b[0]
+    return tokens_bt, lengths_b1[:, 0]

@@ -217,6 +217,27 @@ def test_int8_stacked_greedy_tokens_match(cfg, params):
     np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
 
 
+def test_engine_tiny_shapes_on_tpu_fall_back_to_xla(cfg, params, monkeypatch):
+    """On a real TPU backend, non-lane-aligned miniature configs must
+    default to the XLA path (Mosaic cannot lower the fused kernels for
+    them) — and an explicit serving_kernels=True must error, not crash at
+    compile time."""
+    import manga_ocr_tpu.engine.engine as eng_mod
+    from manga_ocr_tpu.engine.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    monkeypatch.setattr(eng_mod.jax, "default_backend", lambda: "tpu")
+    eng = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8, dtype=jnp.float32
+    )
+    assert eng.cfg.encoder.attn_kernel == "xla"
+    with pytest.raises(ValueError, match="lane-aligned"):
+        TpuMangaOcrEngine(
+            params, cfg, CharTokenizer.synthetic(), dtype=jnp.float32,
+            serving_kernels=True,
+        )
+
+
 def test_engine_serving_kernels_default(cfg, params):
     """Engine defaults: fused+int8 single-chip (and, since round 3, also
     under data-parallel meshes — see test_engine_mesh.py)."""
