@@ -86,6 +86,44 @@ def _extract_text(data: dict) -> str | None:
     return None
 
 
+def engine_from_settings(
+    settings_root: dict,
+    job_settings: dict,
+    cache_dir: str | None = None,
+    transport: Callable | None = None,
+) -> "AiOcrEngine | None":
+    """Build the AI-OCR engine instance a job selects.
+
+    The per-job ``ocr_ai_provider`` (the reference's combo payload,
+    ``_get_ai_ocr_entries`` at ``main_window.py:3349-3381``) picks the
+    provider block under ``settings['ocr']`` and the URL, API key and model
+    swap TOGETHER — the payload dialect is keyed on the resulting instance
+    URL (see ``perform_ocr``), so a provider switch can never pair one
+    provider's dialect with another's endpoint."""
+    provider = str(job_settings.get("ocr_ai_provider", "")).strip()
+    block = (settings_root.get("ocr") or {}).get(provider) or {}
+    url = str(block.get("url") or "").strip()
+    if not url:
+        return None
+    model = str(
+        job_settings.get("ocr_ai_model_id")
+        or job_settings.get("ocr_ai_model_name")
+        or ""
+    )
+    if not model:
+        for m in block.get("models") or []:
+            if isinstance(m, dict) and m.get("active") and m.get("id"):
+                model = str(m["id"])
+                break
+    return AiOcrEngine(
+        url,
+        api_key=str(block.get("api_key") or ""),
+        model=model,
+        cache_dir=cache_dir,
+        transport=transport,
+    )
+
+
 class AiOcrEngine:
     """HTTP vision-LLM OCR with payload-variant ladder + disk cache."""
 

@@ -211,20 +211,21 @@ class TpuMangaOcrEngine:
                 # per-device on its local batch shard (replicated params,
                 # batch-dim in/out specs) — the data-parallel serving plan
                 # of SURVEY §5.8, collectives-free.
-                from jax.experimental.shard_map import shard_map
+                from jax import shard_map
                 from jax.sharding import PartitionSpec as P
 
                 from manga_ocr_tpu.parallel import mesh as meshlib
 
-                run = jax.jit(
-                    shard_map(
-                        run_core,
-                        mesh=self.mesh,
-                        in_specs=(P(), P(meshlib.DATA_AXIS), P(meshlib.DATA_AXIS)),
-                        out_specs=P(meshlib.DATA_AXIS),
-                        check_rep=False,
-                    )
+                kw = dict(
+                    mesh=self.mesh,
+                    in_specs=(P(), P(meshlib.DATA_AXIS), P(meshlib.DATA_AXIS)),
+                    out_specs=P(meshlib.DATA_AXIS),
                 )
+                try:  # jax>=0.8 names the replication check check_vma
+                    sharded = shard_map(run_core, check_vma=False, **kw)
+                except TypeError:
+                    sharded = shard_map(run_core, check_rep=False, **kw)
+                run = jax.jit(sharded)
             else:
                 run = jax.jit(run_core)
 

@@ -81,7 +81,11 @@ def greedy_decode(
         # weights fetched once — token-parity-tested vs this XLA path
         from manga_ocr_tpu.ops.decode_loop import greedy_decode_loop
 
-        cross_packed = dec.precompute_cross_kv_packed(params["decoder"], enc_out, dcfg)
+        # bf16 slabs: they feed batched MXU matmuls and are fetched once per
+        # dispatch, so int8 storage would only add per-step dequant casts
+        cross_packed = dec.precompute_cross_kv_packed(
+            params["decoder"], enc_out, dcfg, int8=False
+        )
         tokens, lengths = greedy_decode_loop(
             params["decoder"], cross_packed, dcfg, steps=max_len - 1, dtype=dtype
         )

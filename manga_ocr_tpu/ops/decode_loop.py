@@ -57,7 +57,6 @@ from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
 
 NEG_INF = -1e30
 VOCAB_TILE = 512
-S_CHUNK = 64  # cross-attn encoder-position chunk (VMEM transient bound)
 
 
 def _seg_matrix(heads: int, dh: int) -> jax.Array:
@@ -89,7 +88,7 @@ _LAYER_NAMES = (
     "cwq", "csq", "cbq", "cwo", "cso", "cbo", "clns", "clnb",
     "w1", "s1", "b1", "w2", "s2", "b2", "mlns", "mlnb",
 )
-_CROSS_NAMES = ("K", "V", "ks", "vs")
+_CROSS_NAMES = ("K", "V")
 _COMMON_NAMES = (
     "tok_emb", "pos_emb", "tok_type", "elns", "elnb",
     "twt", "tbt", "hlns", "hlnb", "wp", "bp", "seg",
@@ -104,21 +103,20 @@ def _decode_loop_kernel(
     dh: int,
     eps: float,
     int8_w: bool,
-    int8_kv: bool,
-    s_valid: int,
     bos: int,
     eos: int,
     pad: int,
     gelu,
     head_gelu,
+    ablate: str = "",
 ):
     nc = len(_COMMON_NAMES)
     common = dict(zip(_COMMON_NAMES, args[:nc]))
     off = nc
     layers = []
     for _ in range(num_layers):
-        cross = dict(zip(_CROSS_NAMES, args[off : off + 4]))
-        off += 4
+        cross = dict(zip(_CROSS_NAMES, args[off : off + len(_CROSS_NAMES)]))
+        off += len(_CROSS_NAMES)
         lw = dict(zip(_LAYER_NAMES, args[off : off + len(_LAYER_NAMES)]))
         off += len(_LAYER_NAMES)
         layers.append((cross, lw))
@@ -139,30 +137,55 @@ def _decode_loop_kernel(
     for c in caches:
         c[...] = jnp.zeros(c.shape, c.dtype)
 
-    def self_attn(x, t, lw, ck, cv):
+    # Per-head attention WITHOUT per-step whole-slab elementwise work: the
+    # round-3 first cut computed scores as (q ⊙ K) @ seg — casting and
+    # multiplying the ENTIRE K/V slab on the VPU every step dominated the
+    # kernel (measured flat ~30 ms across group sizes = VPU-bound).  MXU
+    # formulation instead: fold q into a per-row [D, H] weight
+    # Wq[b] = q[b][:, None] * seg, then scores[b] = K[b] @ Wq[b] — one
+    # batched matmul; and ctx[b] = select_heads(P[b]ᵀ @ V[b]) — another.
+    # The slabs feed the MXU directly (stored bf16 — int8 storage buys
+    # nothing now that they are fetched once per dispatch, not per step).
+    segT = seg.T  # [H, D]
+
+    def _attend(q32, kv_k, kv_v, t_len, mask_le=None):
+        """q [g, D] f32 + K/V [g, T, D] (bf16) -> ctx [g, D] f32."""
+        wq = ((q32 * segT_scale)[:, :, None] * seg[None]).astype(dt)  # [g,D,H]
+        scores = jax.lax.dot_general(
+            kv_k, wq, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [g, T, H]
+        if mask_le is not None:
+            keep = jax.lax.broadcasted_iota(jnp.int32, (1, t_len, 1), 1) <= mask_le
+            scores = jnp.where(keep, scores, NEG_INF)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)  # [g, T, H]
+        heads_out = jax.lax.dot_general(
+            p, kv_v, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [g, H, D] — contract T with T directly (a swapaxes here lowers
+        # through an unsupported Mosaic gather)
+        return jnp.sum(heads_out * segT[None], axis=1)  # [g, D] f32
+
+    def self_attn(x, t, lw, ck, cv, t_rows):
         qkv = _proj(
             x.astype(jnp.float32), lw["wqkv"][:], lw["sqkv"][:], lw["bqkv"][:],
             int8_w, dt,
         )  # [g, 3D] f32
         q = qkv[:, :d]
-        ck[t, :, :] = qkv[:, d : 2 * d].astype(dt)
-        cv[t, :, :] = qkv[:, 2 * d :].astype(dt)
-        t_len = ck.shape[0]
-        prod = q[None, :, :] * ck[:].astype(jnp.float32)  # [T, g, D] f32
-        scores = jax.lax.dot_general(
-            prod.reshape(t_len * g, d), seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(t_len, g, heads) * segT_scale
-        keep = jax.lax.broadcasted_iota(jnp.int32, (t_len, 1, 1), 0) <= t
-        scores = jnp.where(keep, scores, NEG_INF)
-        m = jnp.max(scores, axis=0, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=0, keepdims=True)
-        p_full = jax.lax.dot_general(
-            p.reshape(t_len * g, heads), seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(t_len, g, d)
-        ctx = jnp.sum(p_full * cv[:].astype(jnp.float32), axis=0)  # [g, D]
+        # cache layout [g, T, D] (batch-leading for the attention matmuls —
+        # Mosaic's dot_general requires batch dims at equal positions);
+        # written via iota-masked select: a dynamic-index store on the
+        # sublane dim would need 8-aligned offsets Mosaic can't prove
+        mask_t = t_rows == t  # [1, T, 1]
+        k_new = jnp.expand_dims(qkv[:, d : 2 * d].astype(dt), 1)  # [g, 1, D]
+        v_new = jnp.expand_dims(qkv[:, 2 * d :].astype(dt), 1)
+        # (slice+newaxis in ONE getitem lowers through an unsupported gather)
+        ck[:] = jnp.where(mask_t, k_new, ck[:])
+        cv[:] = jnp.where(mask_t, v_new, cv[:])
+        t_len = ck.shape[1]
+        ctx = _attend(q, ck[:], cv[:], t_len, mask_le=t)
         out = _proj(ctx, lw["wo"][:], lw["so"][:], lw["bo"][:], int8_w, dt)
         return _ln32(
             (x + out.astype(dt)).astype(jnp.float32), lw["slns"][:], lw["slnb"][:], eps
@@ -173,40 +196,8 @@ def _decode_loop_kernel(
             x.astype(jnp.float32), lw["cwq"][:], lw["csq"][:], lw["cbq"][:],
             int8_w, dt,
         )  # [g, D] f32
-        K, V = cross["K"], cross["V"]
-        s_len = K.shape[1]
-        # scores, S-chunked (the [g, S, D] f32 product would be ~40 MB)
-        sc_list = []
-        for s0 in range(0, s_len, S_CHUNK):
-            s1 = min(s0 + S_CHUNK, s_len)
-            Kc = K[:, s0:s1, :].astype(jnp.float32)  # [g, sc, D]
-            prodc = q[:, None, :] * Kc
-            sc = jax.lax.dot_general(
-                prodc.reshape(g * (s1 - s0), d), seg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(g, s1 - s0, heads)
-            sc_list.append(sc)
-        scores = jnp.concatenate(sc_list, axis=1)  # [g, S, H]
-        if int8_kv:
-            scores = scores * cross["ks"][:][:, :, None]
-        scores = scores * segT_scale
-        if s_valid < s_len:
-            keep = jax.lax.broadcasted_iota(jnp.int32, (1, s_len, 1), 1) < s_valid
-            scores = jnp.where(keep, scores, NEG_INF)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
-        ctx = jnp.zeros((g, d), jnp.float32)
-        for s0 in range(0, s_len, S_CHUNK):
-            s1 = min(s0 + S_CHUNK, s_len)
-            pc = jax.lax.dot_general(
-                p[:, s0:s1, :].reshape(g * (s1 - s0), heads), seg,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(g, s1 - s0, d)
-            ctx = ctx + jnp.sum(pc * V[:, s0:s1, :].astype(jnp.float32), axis=1)
-        if int8_kv:
-            ctx = ctx * cross["vs"][:]
+        K, V = cross["K"][:], cross["V"][:]
+        ctx = _attend(q, K, V, K.shape[1])
         out = _proj(ctx, lw["cwo"][:], lw["cso"][:], lw["cbo"][:], int8_w, dt)
         return _ln32(
             (x + out.astype(dt)).astype(jnp.float32), lw["clns"][:], lw["clnb"][:], eps
@@ -262,6 +253,7 @@ def _decode_loop_kernel(
     # (T, g)/(g, T) dynamic-index stores at these shapes, and a [g, T+1]
     # masked add per step is a trivial VPU op.
     t_cols = jax.lax.broadcasted_iota(jnp.int32, (g, steps + 1), 1)
+    t_rows = jax.lax.broadcasted_iota(jnp.int32, (1, steps, 1), 1)
     prev_ref[:] = jnp.full((g, 1), bos, jnp.int32)
     done_ref[:] = jnp.zeros((g, 1), jnp.int32)
     len_ref[:] = jnp.ones((g, 1), jnp.int32)
@@ -283,10 +275,16 @@ def _decode_loop_kernel(
         for l in range(num_layers):
             cross, lw = layers[l]
             ck, cv = caches[2 * l], caches[2 * l + 1]
-            x = self_attn(x, t, lw, ck, cv)
-            x = cross_attn(x, cross, lw)
-            x = mlp(x, lw)
-        nxt = head_argmax(x)  # [g, 1]
+            if "self" not in ablate:
+                x = self_attn(x, t, lw, ck, cv, t_rows)
+            if "cross" not in ablate:
+                x = cross_attn(x, cross, lw)
+            if "mlp" not in ablate:
+                x = mlp(x, lw)
+        if "head" in ablate:
+            nxt = prev + 1  # keep the loop-carried dependency shape
+        else:
+            nxt = head_argmax(x)  # [g, 1]
         nxt = jnp.where(done, pad, nxt)
         tok_ref[:] = tok_ref[:] + jnp.where(t_cols == t + 1, nxt, 0)
         len_ref[:] = len_ref[:] + jnp.where(done, 0, 1)
@@ -311,30 +309,29 @@ def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "steps", "num_layers", "num_heads", "eps", "s_valid", "bos", "eos",
-        "pad", "dt", "int8_w", "int8_kv", "group", "gelu_mode", "interpret",
-        "batch",
+        "steps", "num_layers", "num_heads", "eps", "bos", "eos",
+        "pad", "dt", "int8_w", "group", "gelu_mode", "interpret", "batch",
+        "ablate",
     ),
 )
 def _loop_call(
     commons: tuple,
-    crosses: tuple,  # per-layer (K, V, ks, vs)
+    crosses: tuple,  # per-layer (K, V) bf16 slabs
     layer_ws: tuple,  # per-layer tuple in _LAYER_NAMES order
     batch: int,
     steps: int,
     num_layers: int,
     num_heads: int,
     eps: float,
-    s_valid: int,
     bos: int,
     eos: int,
     pad: int,
     dt,
     int8_w: bool,
-    int8_kv: bool,
     group: int = 32,
     gelu_mode: str = "erf",
     interpret: bool = False,
+    ablate: str = "",  # perf diagnosis only: skip named step stages
 ):
     g = pick_group(batch, group)
     d = commons[0].shape[-1]
@@ -348,24 +345,21 @@ def _loop_call(
     in_specs = [const(a.shape) for a in commons]
     flat_inputs = list(commons)
     for l in range(num_layers):
-        K, V, ks, vs = crosses[l]
+        K, V = crosses[l]
         s_len = K.shape[1]
         in_specs += [
             pl.BlockSpec((g, s_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, s_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, s_len), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
-        flat_inputs += [K, V, ks, vs]
+        flat_inputs += [K, V]
         in_specs += [const(a.shape) for a in layer_ws[l]]
         flat_inputs += list(layer_ws[l])
 
     kernel = functools.partial(
         _decode_loop_kernel,
         steps=steps, num_layers=num_layers, heads=num_heads, dh=d // num_heads,
-        eps=eps, int8_w=int8_w, int8_kv=int8_kv, s_valid=s_valid,
-        bos=bos, eos=eos, pad=pad,
-        gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"),
+        eps=eps, int8_w=int8_w, bos=bos, eos=eos, pad=pad,
+        gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"), ablate=ablate,
     )
     tokens, lengths = pl.pallas_call(
         kernel,
@@ -380,7 +374,7 @@ def _loop_call(
             jax.ShapeDtypeStruct((batch, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((steps, g, d), dt) for _ in range(2 * num_layers)
+            pltpu.VMEM((g, steps, d), dt) for _ in range(2 * num_layers)
         ]
         + [pltpu.VMEM((g, 1), jnp.int32), pltpu.VMEM((g, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
@@ -400,6 +394,8 @@ def greedy_decode_loop(
     group: int = 32,
     gelu_mode: str = "erf",
     interpret: bool = False,
+    ablate: str = "",
+    vmem_budget_mb: int = 110,
 ) -> tuple[jax.Array, jax.Array]:
     """Run ``steps`` greedy decode steps entirely inside one Pallas kernel.
 
@@ -419,14 +415,14 @@ def greedy_decode_loop(
     # cross slabs + caches + weights/tables + transients) stays under the
     # VMEM cap; long budgets (steps ~300) force smaller blocks.
     s_enc = cross.k.shape[2]
-    kv_bytes = 1 if int8_kv else jnp.dtype(dt).itemsize
+    itemsize = jnp.dtype(dt).itemsize
     fixed = 60e6  # weights + embed/head tables + transients, roughly
     while group > 8:
         per_row = (
-            2 * cfg.num_layers * 2 * s_enc * d * kv_bytes  # cross, 2 buffers
-            + 2 * cfg.num_layers * steps * d * jnp.dtype(dt).itemsize  # caches
+            2 * cfg.num_layers * 2 * s_enc * d * itemsize  # bf16 slabs, 2 buffers
+            + 2 * cfg.num_layers * steps * d * itemsize  # caches
         )
-        if fixed + group * per_row <= 110e6:
+        if fixed + group * per_row <= vmem_budget_mb * 1e6:
             break
         group //= 2
 
@@ -446,19 +442,19 @@ def greedy_decode_loop(
         _seg_matrix(cfg.num_heads, cfg.head_dim),
     )
 
-    ones = jnp.ones((batch, cross.k.shape[2]), jnp.float32)
-    onesd = jnp.ones((batch, d), jnp.float32)
     crosses = []
     layer_ws = []
     for l in range(cfg.num_layers):
-        crosses.append(
-            (
-                cross.k[l],
-                cross.v[l],
-                cross.k_scale[l].astype(jnp.float32) if int8_kv else ones,
-                cross.v_scale[l].astype(jnp.float32) if int8_kv else onesd,
-            )
-        )
+        # bf16 slabs: the attentions are batched MXU matmuls against them,
+        # and resident slabs are fetched once per dispatch, so int8 storage
+        # would only add a per-step dequant cast.  Int8-stored CrossKVPacked
+        # (the XLA path's layout) is dequantized here, outside the kernel.
+        if int8_kv:
+            k_l = (cross.k[l].astype(jnp.float32) * cross.k_scale[l][..., None]).astype(dt)
+            v_l = (cross.v[l].astype(jnp.float32) * cross.v_scale[l][:, None, :]).astype(dt)
+        else:
+            k_l, v_l = cross.k[l].astype(dt), cross.v[l].astype(dt)
+        crosses.append((k_l, v_l))
         lp = jax.tree.map(lambda a: a[l], layers)
         sa, ca, mlp_p = lp["self_attn"], lp["cross_attn"], lp["mlp"]
         wq, sq, bq = _dense_int8_or(sa["q"], dt)
@@ -490,8 +486,8 @@ def greedy_decode_loop(
         commons, tuple(crosses), tuple(layer_ws),
         batch=batch, steps=steps, num_layers=cfg.num_layers,
         num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
-        s_valid=cross.k.shape[2], bos=cfg.bos_token_id, eos=cfg.eos_token_id,
-        pad=cfg.pad_token_id, dt=dt, int8_w=int8_w, int8_kv=int8_kv,
-        group=group, gelu_mode=gelu_mode, interpret=interpret,
+        bos=cfg.bos_token_id, eos=cfg.eos_token_id,
+        pad=cfg.pad_token_id, dt=dt, int8_w=int8_w,
+        group=group, gelu_mode=gelu_mode, interpret=interpret, ablate=ablate,
     )
     return tokens_bt, lengths_b1[:, 0]

@@ -5,7 +5,7 @@ import json
 import numpy as np
 import pytest
 
-from manga_ocr_tpu.engine.ai_ocr import AiOcrEngine, ocr_prompt
+from manga_ocr_tpu.engine.ai_ocr import AiOcrEngine, engine_from_settings, ocr_prompt
 from manga_ocr_tpu.engine.registry import EngineRegistry, make_default_registry
 from manga_ocr_tpu.utils.http import HttpResponse
 
@@ -179,3 +179,48 @@ def test_ai_ocr_total_failure_sentinel():
 def test_japanese_prompt_mentions_furigana():
     assert "furigana" in ocr_prompt("ja")
     assert "furigana" not in ocr_prompt("en")
+
+
+def test_japanese_prompt_carries_reference_output_contract():
+    """VERDICT r2 #7: the Japanese prompt must convey the reference's rules
+    (main_window.py:9933-9951): notes/furigana in parentheses AFTER the
+    kanji, keep line breaks, preserve punctuation, no markdown."""
+    p = ocr_prompt("ja")
+    assert "parentheses" in p
+    assert "漢字(note)" in p
+    assert "line break" in p
+    assert "punctuation" in p
+    assert "markdown" in p.lower()
+
+
+def test_engine_from_settings_swaps_url_key_model_together():
+    """The per-job provider selects the provider BLOCK — URL, key and model
+    move together, so the Gemini dialect can only ever pair with a Gemini
+    endpoint (advisor r2 #1)."""
+    root = {
+        "ocr": {
+            "openrouter": {
+                "url": "https://openrouter.ai/api/v1/chat/completions",
+                "api_key": "OR",
+                "models": [{"id": "x/or-model", "active": True}],
+            },
+            "gemini": {
+                "url": "https://generativelanguage.googleapis.com/v1/models/g:generateContent",
+                "api_key": "G",
+                "models": [{"id": "gemini-2.5", "active": True}],
+            },
+        }
+    }
+    eng = engine_from_settings(root, {"ocr_ai_provider": "openrouter"})
+    assert eng.url.startswith("https://openrouter.ai") and eng.api_key == "OR"
+    assert eng.model == "x/or-model"
+    g = engine_from_settings(root, {"ocr_ai_provider": "gemini"})
+    assert "generativelanguage" in g.url and g.api_key == "G"
+    # job-level model override wins
+    g2 = engine_from_settings(
+        root, {"ocr_ai_provider": "gemini", "ocr_ai_model_id": "gemini-exp"}
+    )
+    assert g2.model == "gemini-exp"
+    # unknown provider or missing URL -> None
+    assert engine_from_settings(root, {"ocr_ai_provider": "nope"}) is None
+    assert engine_from_settings({}, {"ocr_ai_provider": "gemini"}) is None
