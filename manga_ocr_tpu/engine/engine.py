@@ -117,12 +117,12 @@ class TpuMangaOcrEngine:
         if quantize_int8 is None:
             quantize_int8 = serving_kernels
         if serving_kernels:
-            # NB: the fused decode-step kernels (ops/decode_layer.py) and the
+            # NB: the fused decode-STEP kernels (ops/decode_layer.py) and the
             # in-loop greedy head stay OFF here: measured 2.7x slower than
-            # the XLA step at B=256 — in-loop Pallas calls cost ~0.3-0.5 ms
-            # each on this runtime regardless of kernel size (docs/PERF.md
-            # round-2 decode probes).  They remain available via
-            # DecoderConfig.step_kernel / head_kernel for future runtimes.
+            # the XLA step at B=256 (docs/PERF.md round-2 decode probes).
+            # The whole-decode-LOOP kernel (ops/decode_loop.py) is ON: the
+            # entire greedy loop in one Pallas call, 0.58 vs 0.89 ms/token
+            # slope-timed, with block-granular EOS early exit (round 3).
             cfg = _dc.replace(
                 cfg,
                 encoder=_dc.replace(
@@ -134,7 +134,11 @@ class TpuMangaOcrEngine:
                     # unquantized path
                     gelu_mode="sigmoid" if quantize_int8 else "erf",
                 ),
-                decoder=_dc.replace(cfg.decoder, cross_kv_int8=quantize_int8),
+                decoder=_dc.replace(
+                    cfg.decoder,
+                    cross_kv_int8=quantize_int8,
+                    step_kernel="fused_loop",
+                ),
             )
         self.cfg = cfg
         self.tokenizer = tokenizer

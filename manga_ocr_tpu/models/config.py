@@ -135,7 +135,13 @@ class MangaOCRConfig:
                 # activation quantization step (token parity tested)
                 gelu_mode="sigmoid" if quantized else "erf",
             ),
-            decoder=dataclasses.replace(base.decoder, cross_kv_int8=quantized),
+            decoder=dataclasses.replace(
+                base.decoder,
+                cross_kv_int8=quantized,
+                # whole-loop decode kernel: 0.58 vs 0.89 ms/token slope-timed
+                # (docs/PERF.md round 3); ignores cross_kv_int8 (bf16 slabs)
+                step_kernel="fused_loop",
+            ),
         )
 
     @staticmethod

@@ -103,6 +103,7 @@ def _decode_loop_kernel(
     dh: int,
     eps: float,
     int8_w: bool,
+    s_valid: int,
     bos: int,
     eos: int,
     pad: int,
@@ -121,8 +122,13 @@ def _decode_loop_kernel(
         off += len(_LAYER_NAMES)
         layers.append((cross, lw))
     tok_ref, len_ref = args[off], args[off + 1]
-    caches = args[off + 2 : off + 2 + 2 * num_layers]  # ck/cv VMEM scratch
-    prev_ref, done_ref = args[off + 2 + 2 * num_layers :]  # [g, 1] i32 state
+    off2 = off + 2
+    caches = args[off2 : off2 + 2 * num_layers]  # ck/cv VMEM scratch
+    prev_ref, done_ref = args[off2 + 2 * num_layers : off2 + 2 * num_layers + 2]
+    # (A manual single-buffered slab-DMA variant was measured WORSE than
+    # Mosaic's double-buffered block-spec slabs — 0.645/0.769 vs 0.584
+    # ms/token — per-program-step cost is chain latency + work ∝ g, optimal
+    # at g=16 with block specs.  docs/PERF.md round 3.)
 
     seg = common["seg"][:]  # [D, H] f32
     segT_scale = 1.0 / (dh**0.5)
@@ -149,12 +155,18 @@ def _decode_loop_kernel(
     segT = seg.T  # [H, D]
 
     def _attend(q32, kv_k, kv_v, t_len, mask_le=None):
-        """q [g, D] f32 + K/V [g, T, D] (bf16) -> ctx [g, D] f32."""
-        wq = ((q32 * segT_scale)[:, :, None] * seg[None]).astype(dt)  # [g,D,H]
+        """q [g, D] f32 + K/V [g, T, D] (bf16) -> ctx [g, D] f32.
+
+        Rounding mirrors the XLA path: q is bf16-rounded FIRST (the XLA
+        projections emit bf16), the seg mask is 0/1 so ``q_bf * seg`` is
+        exact, and the 1/sqrt(dh) scale lands on the f32 scores — not
+        folded into Wq where it would round differently."""
+        q_bf = q32.astype(dt).astype(jnp.float32)
+        wq = (q_bf[:, :, None] * seg[None]).astype(dt)  # [g, D, H] exact
         scores = jax.lax.dot_general(
             kv_k, wq, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [g, T, H]
+        ) * segT_scale  # [g, T, H]
         if mask_le is not None:
             keep = jax.lax.broadcasted_iota(jnp.int32, (1, t_len, 1), 1) <= mask_le
             scores = jnp.where(keep, scores, NEG_INF)
@@ -197,7 +209,11 @@ def _decode_loop_kernel(
             int8_w, dt,
         )  # [g, D] f32
         K, V = cross["K"][:], cross["V"][:]
-        ctx = _attend(q, K, V, K.shape[1])
+        s_len = K.shape[1]
+        # slabs are padded to an 8-multiple S for the aligned DMA; mask the
+        # padded key rows (mask_le keeps iota <= bound)
+        mask = s_valid - 1 if s_valid < s_len else None
+        ctx = _attend(q, K, V, s_len, mask_le=mask)
         out = _proj(ctx, lw["cwo"][:], lw["cso"][:], lw["cbo"][:], int8_w, dt)
         return _ln32(
             (x + out.astype(dt)).astype(jnp.float32), lw["clns"][:], lw["clnb"][:], eps
@@ -259,7 +275,23 @@ def _decode_loop_kernel(
     len_ref[:] = jnp.ones((g, 1), jnp.int32)
     tok_ref[:] = jnp.where(t_cols == 0, bos, 0).astype(jnp.int32)
 
-    def one_step(t, _):
+    EXIT_CHUNK = 8
+
+    def one_chunk(c, _):
+        # EOS-driven early exit at batch-block granularity, evaluated once
+        # per 8-step chunk (a per-step predicate costs ~0.14 ms/token even
+        # when it never fires): once every row of this program is done,
+        # remaining chunks skip their whole bodies.  With a real
+        # checkpoint's median-12 lengths the engine's budget-300 contract
+        # pays ~tens of live steps per block instead of 299.
+        @pl.when(jnp.logical_not(jnp.all(done_ref[:] != 0)))
+        def _live_chunk():
+            for j in range(EXIT_CHUNK):
+                _one_step_body(c * EXIT_CHUNK + j)
+
+        return 0
+
+    def _one_step_body(t):
         prev = prev_ref[:]  # [g, 1] i32
         done = done_ref[:] != 0
         # embedding via exact one-hot matmul (no gather)
@@ -269,8 +301,21 @@ def _decode_loop_kernel(
         emb = jax.lax.dot_general(
             onehot, common["tok_emb"][:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        emb = emb + common["pos_emb"][t, :] + common["tok_type"][:]
+        ).astype(dt)  # exact row-select
+        # sum in the compute dtype exactly as decoder.embed does.  The
+        # position row is selected by an iota mask (a dynamic bf16 row read
+        # needs an alignment proof Mosaic can't make); one row + zeros is
+        # exact.
+        n_pos = common["pos_emb"].shape[0]
+        tt = jnp.minimum(t, n_pos - 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_pos, 1), 0)
+        pos_row = jnp.sum(
+            jnp.where(row_ids == tt, common["pos_emb"][:], 0).astype(
+                jnp.float32
+            ),
+            axis=0,
+        ).astype(dt)
+        emb = emb + pos_row + common["tok_type"][:]
         x = _ln32(emb, common["elns"][:], common["elnb"][:], eps).astype(dt)
         for l in range(num_layers):
             cross, lw = layers[l]
@@ -287,12 +332,14 @@ def _decode_loop_kernel(
             nxt = head_argmax(x)  # [g, 1]
         nxt = jnp.where(done, pad, nxt)
         tok_ref[:] = tok_ref[:] + jnp.where(t_cols == t + 1, nxt, 0)
-        len_ref[:] = len_ref[:] + jnp.where(done, 0, 1)
+        # guard the exit-chunk's phantom tail steps (t >= steps): their
+        # token/cache writes are natural no-ops, but lengths would overcount
+        live = jnp.logical_and(jnp.logical_not(done), t < steps)
+        len_ref[:] = len_ref[:] + jnp.where(live, 1, 0)
         prev_ref[:] = nxt
         done_ref[:] = jnp.logical_or(done, nxt == eos).astype(jnp.int32)
-        return 0
 
-    jax.lax.fori_loop(0, steps, one_step, 0)
+    jax.lax.fori_loop(0, -(-steps // EXIT_CHUNK), one_chunk, 0)
 
 
 def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
@@ -310,8 +357,8 @@ def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
     jax.jit,
     static_argnames=(
         "steps", "num_layers", "num_heads", "eps", "bos", "eos",
-        "pad", "dt", "int8_w", "group", "gelu_mode", "interpret", "batch",
-        "ablate",
+        "pad", "dt", "int8_w", "s_valid", "group", "gelu_mode", "interpret",
+        "batch", "ablate",
     ),
 )
 def _loop_call(
@@ -323,6 +370,7 @@ def _loop_call(
     num_layers: int,
     num_heads: int,
     eps: float,
+    s_valid: int,
     bos: int,
     eos: int,
     pad: int,
@@ -344,9 +392,9 @@ def _loop_call(
 
     in_specs = [const(a.shape) for a in commons]
     flat_inputs = list(commons)
+    s_len = crosses[0][0].shape[1]
     for l in range(num_layers):
         K, V = crosses[l]
-        s_len = K.shape[1]
         in_specs += [
             pl.BlockSpec((g, s_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, s_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -358,7 +406,7 @@ def _loop_call(
     kernel = functools.partial(
         _decode_loop_kernel,
         steps=steps, num_layers=num_layers, heads=num_heads, dh=d // num_heads,
-        eps=eps, int8_w=int8_w, bos=bos, eos=eos, pad=pad,
+        eps=eps, int8_w=int8_w, s_valid=s_valid, bos=bos, eos=eos, pad=pad,
         gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"), ablate=ablate,
     )
     tokens, lengths = pl.pallas_call(
@@ -419,7 +467,8 @@ def greedy_decode_loop(
     fixed = 60e6  # weights + embed/head tables + transients, roughly
     while group > 8:
         per_row = (
-            2 * cfg.num_layers * 2 * s_enc * d * itemsize  # bf16 slabs, 2 buffers
+            2 * 2 * cfg.num_layers * s_enc * d * itemsize  # bf16 slabs,
+            # double-buffered block-spec inputs
             + 2 * cfg.num_layers * steps * d * itemsize  # caches
         )
         if fixed + group * per_row <= vmem_budget_mb * 1e6:
@@ -429,8 +478,8 @@ def greedy_decode_loop(
     head = params_decoder["head"]
     commons = (
         params_decoder["tok_embed"].astype(dt),
-        params_decoder["pos_embed"][:steps].astype(jnp.float32),
-        params_decoder["tok_type"].astype(jnp.float32),
+        params_decoder["pos_embed"][:steps].astype(dt),
+        params_decoder["tok_type"].astype(dt),
         params_decoder["emb_ln"]["scale"].astype(jnp.float32),
         params_decoder["emb_ln"]["bias"].astype(jnp.float32),
         head["transform"]["dense"]["kernel"].astype(dt),
@@ -485,7 +534,7 @@ def greedy_decode_loop(
     tokens_bt, lengths_b1 = _loop_call(
         commons, tuple(crosses), tuple(layer_ws),
         batch=batch, steps=steps, num_layers=cfg.num_layers,
-        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps,
+        num_heads=cfg.num_heads, eps=cfg.layer_norm_eps, s_valid=s_enc,
         bos=cfg.bos_token_id, eos=cfg.eos_token_id,
         pad=cfg.pad_token_id, dt=dt, int8_w=int8_w,
         group=group, gelu_mode=gelu_mode, interpret=interpret, ablate=ablate,
