@@ -65,7 +65,7 @@ def bench_full_path(engine, batch: int, iters: int = 5) -> tuple[float, dict]:
     in-graph preprocessing, decode, token readback and detokenization."""
     import numpy as np
 
-    from manga_ocr_tpu.utils.metrics import GLOBAL_TIMER, StageTimer
+    from manga_ocr_tpu.utils.metrics import StageTimer
 
     rng = np.random.default_rng(0)
     crops = [
@@ -79,7 +79,7 @@ def bench_full_path(engine, batch: int, iters: int = 5) -> tuple[float, dict]:
     n = 0
     for _ in range(iters):
         with timer.stage("ocr_page"):
-            texts = engine.ocr_page(crops)
+            texts = engine.ocr_page(crops, timer=timer)
         n += len(texts)
     dt = time.perf_counter() - t0
     return n / dt, timer.summary()

@@ -243,18 +243,29 @@ class TpuMangaOcrEngine:
         self,
         crops: Sequence[np.ndarray],
         orientation: int = pp.ORIENT_VERTICAL,
+        timer=None,
     ) -> list[str]:
         """OCR every crop of a page: bucket, pad, dispatch once per bucket.
 
         ``orientation`` follows the reference's manga-ocr rule (default
         Vertical for Japanese: rotate 90° CW when wider than tall), applied
-        host-side per crop on the REAL crop dims before bucketing."""
+        host-side per crop on the REAL crop dims before bucketing.
+
+        ``timer``: optional ``utils.metrics.StageTimer`` — records the
+        host_prep / h2d / dispatch / detok split (bench + observability;
+        through the axon tunnel h2d dominates and is a tunnel artifact, not
+        a pipeline cost)."""
         if not len(crops):
             return []
-        oriented = [
-            batching.orient_crop(np.asarray(c, np.uint8), orientation) for c in crops
-        ]
-        batches = batching.bucket_crops(oriented)
+        from contextlib import nullcontext
+
+        stage = timer.stage if timer is not None else (lambda _n: nullcontext())
+        with stage("host_prep"):
+            oriented = [
+                batching.orient_crop(np.asarray(c, np.uint8), orientation)
+                for c in crops
+            ]
+            batches = batching.bucket_crops(oriented)
         results_per_batch = []
         outs = []
         for b in batches:
@@ -265,17 +276,25 @@ class TpuMangaOcrEngine:
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
                 sizes = np.concatenate([sizes, np.repeat(sizes[-1:], pad, axis=0)])
             self._note_dispatch_shape(b.bucket_hw, arr.shape[0])
-            if self._batch_sharding is not None:
-                device_arr = jax.device_put(arr, self._batch_sharding)
-                device_sizes = jax.device_put(sizes, self._batch_sharding)
-            else:
-                device_arr = jnp.asarray(arr)
-                device_sizes = jnp.asarray(sizes)
-            outs.append((b, fn(self.params, device_arr, device_sizes)))
+            with stage("h2d"):
+                if self._batch_sharding is not None:
+                    device_arr = jax.device_put(arr, self._batch_sharding)
+                    device_sizes = jax.device_put(sizes, self._batch_sharding)
+                else:
+                    device_arr = jnp.asarray(arr)
+                    device_sizes = jnp.asarray(sizes)
+                if timer is not None:
+                    jax.block_until_ready(device_arr)
+            with stage("dispatch"):
+                outs.append((b, fn(self.params, device_arr, device_sizes)))
         for b, out in outs:
-            tokens = np.asarray(out.tokens[: b.valid])
-            lengths = np.asarray(out.lengths[: b.valid])
-            results_per_batch.append(self.tokenizer.decode_batch(tokens, lengths))
+            with stage("dispatch"):
+                tokens = np.asarray(out.tokens[: b.valid])
+                lengths = np.asarray(out.lengths[: b.valid])
+            with stage("detok"):
+                results_per_batch.append(
+                    self.tokenizer.decode_batch(tokens, lengths)
+                )
         return batching.scatter_results([b for b, _ in outs], results_per_batch)
 
     def ocr_page_dual(
