@@ -44,6 +44,27 @@ class EncoderConfig:
     # "sigmoid" (x*sigmoid(1.702x), ~6 ops; |err| ~0.02 — below the int8
     # per-row activation quantization step, greedy-token parity tested).
     gelu_mode: str = "erf"
+    # Mark the Pallas grid dims "parallel" (grid programs are independent
+    # batch blocks / token tiles) so Mosaic may reorder/overlap more
+    # aggressively.  Pure scheduling hint — identical math.
+    parallel_grid: bool = False
+    # SDPA emission inside the fused attention kernel: False = per-head
+    # matmul→softmax→matmul chains; "batched" = one batched dot per head
+    # (r2: exactly neutral); "phased" = three waves (all logits, all
+    # softmaxes, all contexts) so Mosaic can pipeline independent heads'
+    # MXU/VPU work.  Identical math, scheduling only.
+    batched_sdpa: bool | str = False
+    # Pad the token dim to this length (0 = off) through the fused-layer
+    # stack.  197 is not sublane-(8-)aligned: the per-layer [B,197,D]→
+    # [B*197,D] flattens around the MLP kernel are real relayouts
+    # (profiler: 0.61 ms/layer of reshape/pad/slice at B=256) and Mosaic
+    # internally pads every 197-token attn block to 208 sublanes.
+    # Padding ONCE to 200 makes the flattens bitcasts and the kernel
+    # blocks aligned — chained in-context measure: 12-layer stack
+    # 54.7 → 37.0 ms (−32%, scripts/perf_r3_pad.py).  Attention masks
+    # key columns beyond ``seq_len`` (softmax zeros) via ``valid_len``;
+    # padded rows are row-local garbage sliced off after the stack.
+    seq_pad_to: int = 0
 
     @property
     def num_patches(self) -> int:
@@ -134,6 +155,10 @@ class MangaOCRConfig:
                 # fast VPU GELU: 2.05 -> 1.04 ms/layer, error below the int8
                 # activation quantization step (token parity tested)
                 gelu_mode="sigmoid" if quantized else "erf",
+                # 8-aligned token dim through the fused stack: relayouts
+                # become bitcasts, kernel blocks align — 12-layer stack
+                # 54.7 → 37.0 ms in-context (scripts/perf_r3_pad.py)
+                seq_pad_to=200 if quantized else 0,
             ),
             decoder=dataclasses.replace(
                 base.decoder,

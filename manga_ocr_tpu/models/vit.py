@@ -66,6 +66,7 @@ def _mlp(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
             fc2["bias"],
             eps=cfg.layer_norm_eps,
             gelu_mode=cfg.gelu_mode,
+            parallel_grid=cfg.parallel_grid,
         )
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
     h = dense_any(h, lp["mlp"]["fc1"])
@@ -95,6 +96,11 @@ def encoder_block(
             lp["ln1"]["bias"],
             cfg.num_heads,
             eps=cfg.layer_norm_eps,
+            parallel_grid=cfg.parallel_grid,
+            batched_sdpa=cfg.batched_sdpa,
+            # x may be seq-padded past seq_len (cfg.seq_pad_to): mask the
+            # padded key columns out of the softmax
+            valid_len=min(cfg.seq_len, x.shape[1]),
         )
         return _mlp(x, lp, cfg)
     h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.layer_norm_eps)
@@ -143,6 +149,16 @@ def encode(
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dtype)
 
+    # 8-aligned token dim through the fused stack (cfg.seq_pad_to, serving
+    # sets 200): one pad here + one slice at the end replace a real
+    # [B,197,D]⇄[B·197,D] relayout around EVERY MLP kernel (~0.61 ms/layer
+    # profiler-measured at B=256).  Padded rows are row-local garbage —
+    # attention masks their key columns (valid_len) — and are sliced off.
+    s_true = x.shape[1]
+    seq_padded = cfg.attn_kernel == "fused_layer" and cfg.seq_pad_to > s_true
+    if seq_padded:
+        x = jnp.pad(x, ((0, 0), (0, cfg.seq_pad_to - s_true), (0, 0)))
+
     if cfg.attn_kernel == "stacked":
         # multi-layer resident-weight kernel: the whole stack (or VMEM-sized
         # slabs of it) runs inside Pallas; no lax.scan, no per-layer
@@ -168,6 +184,8 @@ def encode(
         for i in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[i], params["layers"])
             x = encoder_block(x, lp, cfg, fused)
+        if seq_padded:
+            x = x[:, :s_true]
         return layer_norm(
             x,
             params["final_ln"]["scale"],
@@ -179,6 +197,8 @@ def encode(
         return encoder_block(carry, lp, cfg, fused), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
+    if seq_padded:
+        x = x[:, :s_true]
     return layer_norm(
         x, params["final_ln"]["scale"], params["final_ln"]["bias"], cfg.layer_norm_eps
     )

@@ -284,9 +284,14 @@ def _attn_core(
     scale = 1.0 / (dh**0.5)
     if batched_sdpa:
         # one batched dot per head (batch dim = g): halves the unrolled op
-        # count vs the per-(b, h) loop and runs softmax on [g, sp, sp]
-        ctx_heads = []
-        for h in range(heads):
+        # count vs the per-(b, h) loop and runs softmax on [g, sp, sp].
+        # "phased" emits the ops in three waves (all logits matmuls, then
+        # all softmaxes, then all context matmuls) so Mosaic can pipeline
+        # independent heads' MXU/VPU work instead of 12 serial
+        # matmul→softmax→matmul dependency chains.
+        phased = batched_sdpa == "phased"
+
+        def _logits(h):
             sl = slice(h * dh, (h + 1) * dh)
             logits = jax.lax.dot_general(
                 q[:, :, sl], k[:, :, sl],
@@ -295,16 +300,27 @@ def _attn_core(
             ) * scale  # [g, sp, sp]
             if masked:
                 logits = jnp.where(keep[None], logits, NEG_INF)
+            return logits
+
+        def _softmax(logits):
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ctx_heads.append(
-                jax.lax.dot_general(
-                    p.astype(x.dtype), v[:, :, sl],
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )  # [g, sp, dh]
-            )
+            return p / jnp.sum(p, axis=-1, keepdims=True)
+
+        def _ctx(h, p):
+            sl = slice(h * dh, (h + 1) * dh)
+            return jax.lax.dot_general(
+                p.astype(x.dtype), v[:, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [g, sp, dh]
+
+        if phased:
+            logits_heads = [_logits(h) for h in range(heads)]
+            ps = [_softmax(l) for l in logits_heads]
+            ctx_heads = [_ctx(h, p) for h, p in enumerate(ps)]
+        else:
+            ctx_heads = [_ctx(h, _softmax(_logits(h))) for h in range(heads)]
         ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(g * sp, d)
     else:
         ctx_rows = []
@@ -379,7 +395,10 @@ def _attn_layer_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "eps", "interpret", "group", "batched_sdpa"),
+    static_argnames=(
+        "num_heads", "eps", "interpret", "group", "batched_sdpa", "parallel_grid",
+        "valid_len",
+    ),
 )
 def fused_attn_layer(
     x: jax.Array,  # [B, S, D]
@@ -389,8 +408,10 @@ def fused_attn_layer(
     num_heads: int,
     eps: float = 1e-12,
     interpret: bool = False,
-    group: int = 4,  # swept on v5e: 4 edges out 2 (1.38 vs 1.42 ms); 8 fails to compile
+    group: int = 4,  # swept in-context on v5e: 4 (54.6 ms scan12) beats 8 (58.0)
     batched_sdpa: bool = False,
+    parallel_grid: bool = False,  # mark the batch-block grid dim "parallel"
+    valid_len: int | None = None,  # true token count when x is seq-padded
 ) -> jax.Array:
     """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
     all; projection matmuls on the int8 MXU path when params are quantized
@@ -425,7 +446,7 @@ def fused_attn_layer(
     kernel = functools.partial(
         _attn_layer_kernel,
         eps=eps,
-        valid_len=s,
+        valid_len=s if valid_len is None else valid_len,
         heads=num_heads,
         dh=dh,
         int8=int8,
@@ -437,7 +458,10 @@ def fused_attn_layer(
         in_specs=[xs] + [cw] * 4 + [cv] * 10,
         out_specs=xs,
         out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",) if parallel_grid else None,
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * sp * d * d * 4 + 2 * 2 * b * num_heads * sp * sp * dh,

@@ -86,7 +86,10 @@ def _const_spec(shape):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "tile_m", "interpret", "pre_ln", "post_ln", "gelu_mode"),
+    static_argnames=(
+        "eps", "tile_m", "interpret", "pre_ln", "post_ln", "gelu_mode",
+        "parallel_grid",
+    ),
 )
 def fused_mlp_block(
     x: jax.Array,  # [B, S, D] or [M, D]
@@ -102,6 +105,7 @@ def fused_mlp_block(
     pre_ln: bool = True,
     post_ln: bool = False,
     gelu_mode: str = "erf",  # "erf" (exact) | "sigmoid" (fast approx)
+    parallel_grid: bool = False,  # mark the token-tile grid dim "parallel"
 ) -> jax.Array:
     """One fused [LN→]MLP→residual[→LN] block.  ``w1``/``w2`` are either bf16
     kernels or ``(int8 weights, per-channel f32 scales)`` tuples.
@@ -122,6 +126,10 @@ def fused_mlp_block(
     int8 = isinstance(w1, tuple)
     i_dim = (w1[0] if int8 else w1).shape[-1]
 
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("parallel",) if parallel_grid else None,
+    )
     xf = x.reshape(-1, d)
     m = xf.shape[0]
     tile = min(tile_m, m)
@@ -157,7 +165,7 @@ def fused_mlp_block(
             ],
             out_specs=xs,
             out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            compiler_params=cparams,
             interpret=interpret,
         )(xf, w1q, w2q, s1.astype(jnp.float32), s2.astype(jnp.float32), lns, lnb, b1f, b2f)
     else:
@@ -177,7 +185,7 @@ def fused_mlp_block(
             ],
             out_specs=xs,
             out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            compiler_params=cparams,
             interpret=interpret,
         )(xf, w1.astype(x.dtype), w2.astype(x.dtype), lns, lnb, b1f, b2f)
     if pad:

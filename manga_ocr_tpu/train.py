@@ -198,7 +198,8 @@ def directory_dataset(
         tokens = np.full((batch_size, seq_len), cfg.decoder.pad_token_id, np.int32)
         mask = np.zeros((batch_size, seq_len), np.float32)
         for row, i in enumerate(idxs):
-            _, crop, text = fixtures[int(i)]
+            fx = fixtures[int(i)]
+            crop, text = fx["crop"], fx["ref"]
             gray = np.asarray(
                 Image.fromarray(crop[..., ::-1]).convert("L").resize((img, img))
             )

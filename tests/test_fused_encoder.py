@@ -137,6 +137,57 @@ def test_sigmoid_gelu_bf16_greedy_tokens_match(cfg, params):
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
 
 
+def test_seq_pad_parallel_phased_encode_exact(cfg, params):
+    """The three scheduling-only serving flags — seq_pad_to (8-aligned
+    token dim through the fused stack), parallel_grid (Mosaic "parallel"
+    dimension semantics), batched_sdpa="phased" (three-wave SDPA emission)
+    — must reproduce the unflagged fused-layer encode: all three are
+    scheduling hints / pad-and-slice identities, not math changes.
+    (seq-pad correctness hinges on valid_len masking the padded key
+    columns out of every softmax.)  Tolerance is last-ulp only: the
+    padded token dim changes the backend's matmul blocking, which
+    reorders f32 accumulation."""
+    px = _pixels(cfg, n=3, seed=17)
+    base = _enc_cfg(cfg, mlp_kernel="fused", attn_kernel="fused_layer")
+    ref = np.asarray(vit.encode(params["encoder"], px, base))
+    for kw in (
+        {"seq_pad_to": 8},
+        {"parallel_grid": True},
+        {"batched_sdpa": "phased"},
+        {"seq_pad_to": 8, "parallel_grid": True, "batched_sdpa": "phased"},
+    ):
+        got = vit.encode(params["encoder"], px, dataclasses.replace(base, **kw))
+        assert got.shape == ref.shape, kw
+        np.testing.assert_allclose(
+            np.asarray(got), ref, atol=1e-5, rtol=1e-5, err_msg=str(kw)
+        )
+
+
+def test_seq_pad_int8_greedy_tokens_match(cfg, params):
+    """Greedy-token parity of the full int8 serving path with the seq-pad
+    + phased flags enabled (the serving() defaults when they win on TPU)."""
+    px = _pixels(cfg, n=4, seed=19)
+    ref = mdl.ocr_forward(params, px, cfg, max_length=12)
+    scfg = dataclasses.replace(
+        cfg,
+        encoder=_enc_cfg(
+            cfg,
+            mlp_kernel="fused",
+            attn_kernel="fused_layer",
+            gelu_mode="sigmoid",
+            seq_pad_to=8,
+            batched_sdpa="phased",
+        ),
+        decoder=dataclasses.replace(cfg.decoder, cross_kv_int8=True),
+    )
+    qparams = {
+        "encoder": quantize_encoder(params["encoder"], quantize_attn_proj=True),
+        "decoder": params["decoder"],
+    }
+    got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+
+
 def test_int8_serving_greedy_tokens_match(cfg, params):
     """End-to-end greedy decode: the quantized fused serving path (int8 MLP
     AND int8 attention projections, fused_layer kernel) must emit the same
