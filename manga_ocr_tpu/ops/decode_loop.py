@@ -56,6 +56,11 @@ from manga_ocr_tpu.ops.kernel_utils import pick_group
 from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
 
 NEG_INF = -1e30
+# Head vocab-matmul tile.  The greedy head's argmax runs as a chain of
+# per-tile (matmul, max, argmax, select) updates — each tile is a serial
+# dependency in the step's latency chain, so at small g (logits [g, tile]
+# are tiny in VMEM) larger tiles mean fewer chain links.  Swept in
+# scripts/perf_decode_head.py; overridable per-call via ``vocab_tile``.
 VOCAB_TILE = 512
 
 
@@ -110,6 +115,7 @@ def _decode_loop_kernel(
     gelu,
     head_gelu,
     ablate: str = "",
+    vocab_tile: int = VOCAB_TILE,
 ):
     nc = len(_COMMON_NAMES)
     common = dict(zip(_COMMON_NAMES, args[:nc]))
@@ -172,7 +178,10 @@ def _decode_loop_kernel(
             scores = jnp.where(keep, scores, NEG_INF)
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(dt)  # [g, T, H]
+        # reciprocal-multiply: one VPU divide on [g, 1, H] instead of a
+        # per-element divide over [g, T, H] — the loop is serial-chain
+        # latency-bound (docs/PERF.md round 3), so shorter chains matter
+        p = (p * (1.0 / jnp.sum(p, axis=1, keepdims=True))).astype(dt)  # [g, T, H]
         heads_out = jax.lax.dot_general(
             p, kv_v, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -245,13 +254,13 @@ def _decode_loop_kernel(
         vocab = wp.shape[1]
         best = jnp.full((g, 1), -jnp.inf, jnp.float32)
         best_idx = jnp.zeros((g, 1), jnp.int32)
-        for j in range(0, vocab, VOCAB_TILE):
+        for j in range(0, vocab, vocab_tile):
             logits = (
                 jax.lax.dot_general(
-                    h, wp[:, j : j + VOCAB_TILE], (((1,), (0,)), ((), ())),
+                    h, wp[:, j : j + vocab_tile], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                + common["bp"][j : j + VOCAB_TILE]
+                + common["bp"][j : j + vocab_tile]
             )
             mx = jnp.max(logits, axis=-1, keepdims=True)
             am = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
@@ -358,7 +367,7 @@ def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
     static_argnames=(
         "steps", "num_layers", "num_heads", "eps", "bos", "eos",
         "pad", "dt", "int8_w", "s_valid", "group", "gelu_mode", "interpret",
-        "batch", "ablate",
+        "batch", "ablate", "vocab_tile",
     ),
 )
 def _loop_call(
@@ -380,6 +389,7 @@ def _loop_call(
     gelu_mode: str = "erf",
     interpret: bool = False,
     ablate: str = "",  # perf diagnosis only: skip named step stages
+    vocab_tile: int = VOCAB_TILE,
 ):
     g = pick_group(batch, group)
     d = commons[0].shape[-1]
@@ -408,6 +418,7 @@ def _loop_call(
         steps=steps, num_layers=num_layers, heads=num_heads, dh=d // num_heads,
         eps=eps, int8_w=int8_w, s_valid=s_valid, bos=bos, eos=eos, pad=pad,
         gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"), ablate=ablate,
+        vocab_tile=vocab_tile,
     )
     tokens, lengths = pl.pallas_call(
         kernel,
@@ -444,6 +455,7 @@ def greedy_decode_loop(
     interpret: bool = False,
     ablate: str = "",
     vmem_budget_mb: int = 110,
+    vocab_tile: int = VOCAB_TILE,
 ) -> tuple[jax.Array, jax.Array]:
     """Run ``steps`` greedy decode steps entirely inside one Pallas kernel.
 
@@ -538,5 +550,6 @@ def greedy_decode_loop(
         bos=cfg.bos_token_id, eos=cfg.eos_token_id,
         pad=cfg.pad_token_id, dt=dt, int8_w=int8_w,
         group=group, gelu_mode=gelu_mode, interpret=interpret, ablate=ablate,
+        vocab_tile=vocab_tile,
     )
     return tokens_bt, lengths_b1[:, 0]

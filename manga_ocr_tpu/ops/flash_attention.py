@@ -305,7 +305,8 @@ def _attn_core(
         def _softmax(logits):
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            return p / jnp.sum(p, axis=-1, keepdims=True)
+            # reciprocal-multiply: one divide per row instead of per element
+            return p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
 
         def _ctx(h, p):
             sl = slice(h * dh, (h + 1) * dh)
@@ -341,7 +342,7 @@ def _attn_core(
                     logits = jnp.where(keep, logits, NEG_INF)
                 m = jnp.max(logits, axis=-1, keepdims=True)
                 p = jnp.exp(logits - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
                 outs.append(
                     jax.lax.dot_general(
                         p.astype(x.dtype),

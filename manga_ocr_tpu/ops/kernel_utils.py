@@ -22,10 +22,16 @@ def ln32(x, scale, bias, eps):
 
 def quant_rows(h32):
     """Dynamic per-row symmetric int8 quantization: [..., K] f32 ->
-    (int8 values, f32 row scales with keepdims)."""
-    amax = jnp.max(jnp.abs(h32), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-    hq = jnp.clip(jnp.round(h32 / sx), -127, 127).astype(jnp.int8)
+    (int8 values, f32 row scales with keepdims).
+
+    The scaling multiplies by a per-row reciprocal instead of dividing
+    per element: the VPU divide is a multi-op sequence, and on the MLP's
+    [tokens, 4D] pass it was a measurable slice of the kernel's VPU time.
+    ``sx * inv`` differs from 1 by ≤1 ulp — far below the int8 step."""
+    amax = jnp.maximum(jnp.max(jnp.abs(h32), axis=-1, keepdims=True), 1e-8)
+    sx = amax * (1.0 / 127.0)
+    inv = 127.0 / amax
+    hq = jnp.clip(jnp.round(h32 * inv), -127, 127).astype(jnp.int8)
     return hq, sx
 
 

@@ -36,9 +36,12 @@ def dense_int8(
     """Dynamic-activation int8 matmul with f32 dequantization."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    sx = jnp.maximum(amax, 1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8)
+    sx = amax / 127.0
+    # reciprocal-multiply (not per-element divide) — mirrors
+    # kernel_utils.quant_rows so the XLA and Pallas int8 paths round
+    # identically (token-parity tests compare them exactly)
+    x_q = jnp.clip(jnp.round(x32 * (127.0 / amax)), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q,
         w_q,
