@@ -57,12 +57,17 @@ def bench_batch(fn, params, batch: int, iters: int = 6) -> float:
     return batch / dt
 
 
-def bench_full_path(engine, batch: int, iters: int = 5) -> tuple[float, dict]:
-    """crops/s through ``engine.ocr_page`` — uint8 crops in, strings out.
+def bench_full_path(engine, batch: int, iters: int = 6) -> tuple[float, dict]:
+    """crops/s through the streaming serving loop — uint8 crops in, strings
+    out (``engine.ocr_pages``).
 
     One shape bucket (all crops near the same size) so steady state is one
-    dispatch per page; includes host orient/bucket/pad, H2D transfer,
-    in-graph preprocessing, decode, token readback and detokenization."""
+    dispatch per page; includes host orient/bucket/grayscale, H2D transfer
+    (single-channel gray wire), in-graph preprocessing, decode, token
+    readback and detokenization.  Pages stream with lookahead so transfer
+    and compute overlap — the production calling pattern.  The per-stage
+    split comes from one additional *synchronous* ``ocr_page`` call (stage
+    attribution needs syncs that would break the pipelining)."""
     import numpy as np
 
     from manga_ocr_tpu.utils.metrics import StageTimer
@@ -74,14 +79,14 @@ def bench_full_path(engine, batch: int, iters: int = 5) -> tuple[float, dict]:
         for _ in range(batch)
     ]
     _ = engine.ocr_page(crops)  # compile + warm
-    timer = StageTimer()
+    pages = [crops] * iters
     t0 = time.perf_counter()
-    n = 0
-    for _ in range(iters):
-        with timer.stage("ocr_page"):
-            texts = engine.ocr_page(crops, timer=timer)
-        n += len(texts)
+    texts = engine.ocr_pages(pages)
     dt = time.perf_counter() - t0
+    n = sum(len(t) for t in texts)
+    timer = StageTimer()
+    with timer.stage("ocr_page"):
+        engine.ocr_page(crops, timer=timer)
     return n / dt, timer.summary()
 
 

@@ -37,6 +37,15 @@ from manga_ocr_tpu.parallel import batching
 ERR_NOT_INITIALIZED = "[ERROR: Manga-OCR not installed or initialized]"
 
 
+def _stage_fn(timer):
+    """StageTimer adapter: ``None`` timer -> no-op context factory."""
+    if timer is not None:
+        return timer.stage
+    from contextlib import nullcontext
+
+    return lambda _name: nullcontext()
+
+
 def _err(msg: str) -> str:
     return f"[ERROR: {msg}]"
 
@@ -190,7 +199,8 @@ class TpuMangaOcrEngine:
     # -- jitted pipeline ----------------------------------------------------
 
     def _bucket_fn(self, bucket_hw: tuple[int, int]):
-        """One fused program: uint8 crops (+ valid extents) -> token ids.
+        """One fused program: gray-wire uint8 crops [B, bh, bw] (+ valid
+        extents) -> token ids.
 
         Orientation rotation happens host-side per crop (it depends on each
         crop's real aspect ratio — ``batching.orient_crop``), so one compiled
@@ -254,19 +264,57 @@ class TpuMangaOcrEngine:
         ``timer``: optional ``utils.metrics.StageTimer`` — records the
         host_prep / h2d / dispatch / detok split (bench + observability;
         through the axon tunnel h2d dominates and is a tunnel artifact, not
-        a pipeline cost)."""
+        a pipeline cost).
+
+        Crops cross the host→device link as single-channel uint8 (the gray
+        wire format): the manga-ocr model grayscales every crop anyway, the
+        host conversion is bit-identical to the in-graph one
+        (``batching.gray_u8_np``), and one channel is 3× fewer bytes on the
+        pipeline's bottleneck link."""
+        outs = self._dispatch_page(crops, orientation, timer)
+        return self._collect_page(outs, timer)
+
+    def ocr_pages(
+        self,
+        pages: Sequence[Sequence[np.ndarray]],
+        orientation: int = pp.ORIENT_VERTICAL,
+        lookahead: int = 1,
+    ) -> list[list[str]]:
+        """Streaming multi-page OCR: dispatch up to ``lookahead`` pages
+        before collecting the first, so page N+1's host prep and host→device
+        transfer overlap page N's device compute (JAX dispatch is async; the
+        host only blocks in the token readback).  This is the production
+        serving loop — the TPU-native analog of the reference's worker pool
+        draining a job queue (``main_window.py:4317-4327``), with the
+        parallelism in the pipeline instead of in 15 Python threads.
+
+        ``lookahead=1`` measured best on the tunnel runtime (287 ms/page
+        sync → 202 streamed at B=256; deeper lookahead adds queueing with no
+        extra overlap to win — docs/PERF.md round 3)."""
+        from collections import deque
+
+        pending: deque = deque()
+        results: list[list[str]] = []
+        for page in pages:
+            pending.append(self._dispatch_page(page, orientation, None))
+            if len(pending) > lookahead:
+                results.append(self._collect_page(pending.popleft(), None))
+        while pending:
+            results.append(self._collect_page(pending.popleft(), None))
+        return results
+
+    def _dispatch_page(self, crops, orientation, timer):
+        """host prep + h2d + device dispatch for one page; returns
+        (batch, device-future output) pairs with NO host readback."""
         if not len(crops):
             return []
-        from contextlib import nullcontext
-
-        stage = timer.stage if timer is not None else (lambda _n: nullcontext())
+        stage = _stage_fn(timer)
         with stage("host_prep"):
             oriented = [
                 batching.orient_crop(np.asarray(c, np.uint8), orientation)
                 for c in crops
             ]
-            batches = batching.bucket_crops(oriented)
-        results_per_batch = []
+            batches = batching.bucket_crops(oriented, gray=True)
         outs = []
         for b in batches:
             fn = self._bucket_fn(b.bucket_hw)
@@ -287,6 +335,14 @@ class TpuMangaOcrEngine:
                     jax.block_until_ready(device_arr)
             with stage("dispatch"):
                 outs.append((b, fn(self.params, device_arr, device_sizes)))
+        return outs
+
+    def _collect_page(self, outs, timer) -> list[str]:
+        """Token readback + detokenization for one page's dispatches."""
+        if not outs:
+            return []
+        stage = _stage_fn(timer)
+        results_per_batch = []
         for b, out in outs:
             with stage("dispatch"):
                 tokens = np.asarray(out.tokens[: b.valid])
@@ -419,7 +475,7 @@ class TpuMangaOcrEngine:
             if (hw, n) not in rounded:
                 rounded.append((hw, n))
         for hw, n in rounded:
-            dummy = np.zeros((n, hw[0], hw[1], 3), np.uint8)
+            dummy = np.zeros((n, hw[0], hw[1]), np.uint8)  # gray wire
             sizes = np.full((n, 2), hw, np.int32)
             fn = self._bucket_fn(hw)
             # place inputs exactly as ocr_page will (sharded under a mesh):

@@ -53,8 +53,10 @@ def model_preprocess(
 
     Grayscale happens before the resize (``convert("L")`` then
     ``convert("RGB")`` makes all channels equal, so resizing one channel and
-    broadcasting is numerically identical and 3x cheaper)."""
-    gray = im.bgr_to_gray_u8(crops_u8)  # convert("L"), [B, H, W]
+    broadcasting is numerically identical and 3x cheaper).  A [B, H, W]
+    input is accepted as already-grayscaled (the engine's gray wire format,
+    ``batching.gray_u8_np`` — bit-identical to the in-graph conversion)."""
+    gray = im.bgr_to_gray_u8(crops_u8) if crops_u8.ndim == 4 else crops_u8
     if sizes is None:
         b, h, w = gray.shape
         sizes = jnp.broadcast_to(jnp.asarray([h, w], jnp.int32), (b, 2))
@@ -76,8 +78,8 @@ def ocr_preprocess(
     equalizeHist LUT and the Otsu threshold are computed over the valid
     region only (the reference preprocesses the exact crop), and rotation is
     about the valid region's center.  Callers crop the output back to the
-    valid extent."""
-    gray = im.bgr_to_gray_u8(crops_u8)
+    valid extent.  [B, H, W] input = already-grayscaled (gray wire)."""
+    gray = im.bgr_to_gray_u8(crops_u8) if crops_u8.ndim == 4 else crops_u8
     b, h, w = gray.shape
     mask = None if sizes is None else im.valid_mask(gray.shape, sizes)
     if orientation == ORIENT_AUTO:

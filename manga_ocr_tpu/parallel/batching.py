@@ -65,6 +65,31 @@ def pad_batch_size(n: int, schedule: Sequence[int] = BATCH_SCHEDULE) -> int:
     return ((n + top - 1) // top) * top
 
 
+def gray_u8_np(img: np.ndarray) -> np.ndarray:
+    """Host replica of ``ops.image.bgr_to_gray_u8`` — the same cv2
+    fixed-point math, bit-identical uint8 output (tests/test_engine.py).
+
+    Why host-side: the manga-ocr model path grayscales every crop anyway
+    (``convert("L")`` then ``convert("RGB")``, reference pip-package
+    preprocessing behind ``main_window.py:9801``), so the engine can ship
+    ONE channel over the host→device link instead of three.  Through the
+    axon tunnel (~45 MB/s measured) that link is the full-serving-path
+    bottleneck; on directly-attached hardware it is simply 3× less DMA.
+
+    In-place accumulation: two int32 temps instead of six — the conversion
+    runs on the serving host's critical path (single core)."""
+    y = img[..., 2].astype(np.int32)  # r
+    y *= 4899
+    c = img[..., 1].astype(np.int32)  # g
+    c *= 9617
+    y += c
+    np.multiply(img[..., 0], np.int32(1868), out=c, dtype=np.int32)  # b
+    y += c
+    y += 8192
+    y >>= 14
+    return y.astype(np.uint8)
+
+
 def orient_crop(crop: np.ndarray, orientation: int) -> np.ndarray:
     """The reference's per-crop orientation rule on the REAL crop dims
     (``workers.py:318-327``): Vertical & w>h -> 90° CW; Horizontal & h>w ->
@@ -115,7 +140,7 @@ class BucketedBatch:
     """One padded bucket: crops + bookkeeping to scatter results back."""
 
     bucket_hw: tuple[int, int]
-    crops: np.ndarray  # [B_padded, bh, bw, 3] uint8
+    crops: np.ndarray  # [B_padded, bh, bw, 3] uint8 ([B, bh, bw] when gray)
     indices: list[int]  # original crop index per valid row
     valid: int  # number of real rows (rest are padding)
     sizes: np.ndarray = None  # [B_padded, 2] int32 valid (h, w) per row
@@ -124,6 +149,7 @@ class BucketedBatch:
 def bucket_crops(
     crops: Sequence[np.ndarray],
     buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+    gray: bool = False,
 ) -> list[BucketedBatch]:
     """Group variable-size crops into padded fixed-shape batches.
 
@@ -133,7 +159,12 @@ def bucket_crops(
     the bucket costing the least resolution (never truncated); crops that
     fit any bucket are left at full resolution — downscaling into one
     arbitrary max-area bucket would throw away resolution for e.g. a wide
-    400x800 crop that the equal-area (512, 1024) bucket holds exactly."""
+    400x800 crop that the equal-area (512, 1024) bucket holds exactly.
+
+    ``gray=True`` emits single-channel batches (``gray_u8_np`` wire format,
+    3× fewer host→device bytes); grayscale commutes with the edge-replicate
+    padding (per-pixel transform), so converting the assembled batch in one
+    vectorized pass is exact."""
     fitted = []
     for c in crops:
         c = np.ascontiguousarray(c)
@@ -162,6 +193,8 @@ def bucket_crops(
             arr[n:] = arr[n - 1] if n else 0
             if n:
                 sizes[n:] = sizes[n - 1]
+        if gray:
+            arr = gray_u8_np(arr)
         out.append(BucketedBatch(hw, arr, idxs, n, sizes))
     return out
 

@@ -11,8 +11,11 @@ Also re-probes group=32 with a raised auto-shrink budget (the r3 g=32 row
 used manual slab DMA because the default 110 MB estimate shrank the block;
 the compiler cap is 127 MB and the estimate's fixed term is conservative).
 
-Slope-timed: (t(steps=31) - t(steps=15)) / 16 isolates per-token cost from
-the tunnel's fixed dispatch overhead.
+COMPILE BUDGET: the mega-kernel's Mosaic compile is ~17 min per config
+(measured round 3) — so this sweep times t(31) ONLY, un-pipelined wall per
+dispatch, and compares DELTAS against the in-process default-config row
+(the tunnel's fixed dispatch cost is shared and cancels in the delta).
+Run a confirming t15 slope only on a winner before landing it.
 
 Usage: python scripts/perf_decode_head.py
 """
@@ -67,30 +70,26 @@ def main():
         lambda p, e: dec.precompute_cross_kv_packed(p, e, DCFG)
     )(PARAMS["decoder"], ENC)
 
+    base_t31 = None
     for group, budget, vt in (
-        (16, 110, 512),    # current serving config (0.547 ms/tok reference)
-        (16, 110, 1024),
-        (16, 110, 2048),
-        (16, 110, 6144),
+        (16, 110, 512),    # current serving config — the delta reference
+        (16, 110, 2048),   # 3 head chain links instead of 12
         (32, 122, 512),    # block-spec g=32: raised budget, cap is 127
-        (32, 122, 2048),
     ):
         label = f"g={group} budget={budget} vt={vt}"
         try:
-            def make(steps, _g=group, _b=budget, _vt=vt):
-                return jax.jit(
-                    lambda p, c: greedy_decode_loop(
-                        p, c, DCFG, steps=steps, dtype=jnp.bfloat16,
-                        group=_g, vmem_budget_mb=_b, vocab_tile=_vt,
-                    )[1]
-                )
-
-            t31 = wall_ms(make(31), QDEC, cross)
-            t15 = wall_ms(make(15), QDEC, cross)
-            ms_tok = (t31 - t15) / 16
+            fn = jax.jit(
+                lambda p, c, _g=group, _b=budget, _vt=vt: greedy_decode_loop(
+                    p, c, DCFG, steps=31, dtype=jnp.bfloat16,
+                    group=_g, vmem_budget_mb=_b, vocab_tile=_vt,
+                )[1]
+            )
+            t31 = wall_ms(fn, QDEC, cross)
+            if base_t31 is None:
+                base_t31 = t31
             print(
-                f"{label:30s} t31={t31:7.2f}  t15={t15:7.2f}  "
-                f"{ms_tok:6.3f} ms/tok  decode32={ms_tok * 31:6.1f} ms",
+                f"{label:30s} t31={t31:7.2f} ms  "
+                f"delta={t31 - base_t31:+7.2f} ms vs default",
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001

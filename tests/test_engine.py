@@ -170,3 +170,49 @@ def test_compile_coverage_zero_unplanned_after_full_warmup():
     COMPILE_EVENTS.reset()
     eng2.ocr_page(mix)
     assert COMPILE_EVENTS.get("unplanned_compile") == 0
+
+
+def test_gray_wire_host_matches_device_conversion():
+    """batching.gray_u8_np must be BIT-identical to the in-graph
+    ops.image.bgr_to_gray_u8 — the gray wire format's exactness contract."""
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.ops import image as im
+
+    rgb = np.random.default_rng(7).integers(0, 256, size=(5, 33, 41, 3)).astype(np.uint8)
+    host = batching.gray_u8_np(rgb)
+    device = np.asarray(im.bgr_to_gray_u8(jnp.asarray(rgb)))
+    np.testing.assert_array_equal(host, device)
+
+
+def test_gray_wire_preprocess_identical():
+    """model_preprocess on a gray-wire batch == on the RGB batch (exact)."""
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.ops import preprocess as pp
+
+    crops = [_crop(60, 100, 11), _crop(100, 60, 12)]
+    [rgb_b] = batching.bucket_crops(crops)
+    [gray_b] = batching.bucket_crops(crops, gray=True)
+    assert gray_b.crops.ndim == 3
+    out_rgb = np.asarray(
+        pp.model_preprocess(jnp.asarray(rgb_b.crops), sizes=jnp.asarray(rgb_b.sizes))
+    )
+    out_gray = np.asarray(
+        pp.model_preprocess(jnp.asarray(gray_b.crops), sizes=jnp.asarray(gray_b.sizes))
+    )
+    np.testing.assert_array_equal(out_rgb, out_gray)
+
+
+def test_ocr_pages_matches_per_page_calls(engine):
+    """The streaming loop must return exactly what per-page ocr_page does,
+    in page order, for mixed page sizes (incl. an empty page)."""
+    pages = [
+        [_crop(40, 60, 20), _crop(64, 48, 21)],
+        [],
+        [_crop(30, 30, 22), _crop(48, 48, 23), _crop(40, 60, 24)],
+        [_crop(40, 60, 25)],
+    ]
+    streamed = engine.ocr_pages(pages, lookahead=2)
+    sequential = [engine.ocr_page(p) for p in pages]
+    assert streamed == sequential
