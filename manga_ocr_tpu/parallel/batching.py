@@ -186,8 +186,18 @@ def bucket_crops(
         arr = np.zeros((bn, bh, bw, 3), np.uint8)
         sizes = np.full((bn, 2), (bh, bw), np.int32)
         for row, i in enumerate(idxs):
-            arr[row] = pad_crop_to(fitted[i], bh, bw)
-            sizes[row] = fitted[i].shape[:2]
+            # edge-replicate pad written straight into the batch row —
+            # equivalent to pad_crop_to but without a per-crop np.pad
+            # allocation (this loop is on the serving host's critical path)
+            c = fitted[i]
+            h, w = c.shape[:2]
+            dst = arr[row]
+            dst[:h, :w] = c
+            if w < bw:
+                dst[:h, w:] = c[:, -1:]
+            if h < bh:
+                dst[h:] = dst[h - 1]
+            sizes[row] = (h, w)
         if bn > n:
             # repeat last row (content and extents) as batch padding
             arr[n:] = arr[n - 1] if n else 0
