@@ -121,6 +121,9 @@ def main() -> None:
             rate = bench_batch(fn, params, b)
         except Exception:
             break
+        import sys
+
+        print(f"# model-only B={b}: {rate:.1f} crops/s", file=sys.stderr)
         best = max(best, rate)
 
     # Full serving path (engine.ocr_page) — config #4 methodology.
