@@ -65,6 +65,10 @@ class EncoderConfig:
     # key columns beyond ``seq_len`` (softmax zeros) via ``valid_len``;
     # padded rows are row-local garbage sliced off after the stack.
     seq_pad_to: int = 0
+    # int8 fused-MLP only: split each token tile into this many independent
+    # row-chunk chains so one chunk's VPU epilogue (dequant→GELU→requant)
+    # can overlap another's MXU matmuls.  Scheduling only — identical math.
+    mlp_subtiles: int = 1
 
     @property
     def num_patches(self) -> int:
@@ -114,6 +118,14 @@ class DecoderConfig:
     # transform+GELU+LN+tiled vocab matmul+argmax in one kernel — the [B, V]
     # f32 logits never round-trip HBM).
     head_kernel: str = "xla"
+    # fused_loop only: compute the cross-K/V slabs (and the encoder's final
+    # LayerNorm) INSIDE the decode mega-kernel, from the raw padded encoder
+    # output.  Eliminates the whole XLA tail between the encoder scan and
+    # the decode kernel — the final-LN/slice fusions, the 4 k/v projection
+    # matmuls, and the [L,B,S,D] slab HBM round-trip (~314 MB at B=256) —
+    # plus one program boundary of launch gap.  Token-parity-tested vs the
+    # precomputed-slab path (tests/test_decode_loop.py).
+    fuse_cross_kv: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -166,6 +178,13 @@ class MangaOCRConfig:
                 # whole-loop decode kernel: 0.58 vs 0.89 ms/token slope-timed
                 # (docs/PERF.md round 3); ignores cross_kv_int8 (bf16 slabs)
                 step_kernel="fused_loop",
+                # fuse_cross_kv stays OFF: measured exactly neutral e2e on
+                # the real chip (60.42 -> 60.42 ms at B=256 — the ~1.6 ms
+                # XLA tail it removes was already hidden under the decode
+                # kernel's warm-up DMA), and the in-kernel slab matmuls'
+                # different accumulation order costs exact token parity on
+                # random weights (docs/PERF.md round 3).  Flag kept for
+                # runtimes where program-boundary gaps are expensive.
             ),
         )
 

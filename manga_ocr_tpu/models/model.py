@@ -154,6 +154,24 @@ def ocr_forward(
     chunk_size: int = 8,
 ) -> GreedyResult:
     """pixels [B, H, W, C] (normalized) -> greedy token ids.  Jittable."""
+    dcfg = cfg.decoder
+    if dcfg.step_kernel == "fused_loop" and dcfg.fuse_cross_kv:
+        # fused path: the decode mega-kernel applies the encoder's final LN
+        # and computes the cross-K/V slabs itself, straight from the raw
+        # (possibly seq-padded) encoder output — no XLA tail between the
+        # two programs (ops/decode_loop.py fuse_kv)
+        from manga_ocr_tpu.ops.decode_loop import greedy_decode_loop
+
+        ecfg = cfg.encoder
+        enc_raw = vit.encode(params["encoder"], pixel_values, ecfg, raw_padded=True)
+        s_valid = (ecfg.image_size // ecfg.patch_size) ** 2 + 1
+        max_len = max_length or cfg.max_length
+        tokens, lengths = greedy_decode_loop(
+            params["decoder"], None, dcfg, steps=max_len - 1,
+            dtype=enc_raw.dtype, enc_raw=enc_raw, s_valid=s_valid,
+            enc_final_ln=params["encoder"]["final_ln"],
+        )
+        return GreedyResult(tokens[:, :max_len], jnp.minimum(lengths, max_len))
     enc_out = encode(params, pixel_values, cfg)
     return greedy_decode(params, enc_out, cfg, max_length, chunk_size=chunk_size)
 

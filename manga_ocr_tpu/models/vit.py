@@ -67,6 +67,7 @@ def _mlp(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
             eps=cfg.layer_norm_eps,
             gelu_mode=cfg.gelu_mode,
             parallel_grid=cfg.parallel_grid,
+            subtiles=cfg.mlp_subtiles,
         )
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
     h = dense_any(h, lp["mlp"]["fc1"])
@@ -125,9 +126,16 @@ def encode(
     dtype: jnp.dtype | None = None,
     fused_attention: bool | None = None,
     unroll_layers: bool = False,
+    raw_padded: bool = False,
 ) -> jax.Array:
     """Full encoder forward: [B, H, W, C] normalized pixels -> [B, S, D]
     hidden states (S = num_patches + 1 CLS token).
+
+    ``raw_padded``: return the post-stack hidden states BEFORE the final
+    LayerNorm and before slicing off the ``seq_pad_to`` alignment rows —
+    for the fuse_cross_kv decode path, which applies the final LN and the
+    cross-k/v projections inside the decode mega-kernel (padded rows are
+    finite row-local garbage; the consumer masks them by valid length).
 
     ``dtype``: compute dtype; defaults to the input's dtype (bf16 pixels →
     bf16 encoder).  Round-1 hardcoded float32 here, silently upcasting the
@@ -173,30 +181,18 @@ def encode(
             lpc=cfg.stack_lpc,
             gelu_mode=cfg.gelu_mode,
         )
-        return layer_norm(
-            x,
-            params["final_ln"]["scale"],
-            params["final_ln"]["bias"],
-            cfg.layer_norm_eps,
-        )
-
-    if unroll_layers:
+    elif unroll_layers:
         for i in range(cfg.num_layers):
             lp = jax.tree.map(lambda a: a[i], params["layers"])
             x = encoder_block(x, lp, cfg, fused)
-        if seq_padded:
-            x = x[:, :s_true]
-        return layer_norm(
-            x,
-            params["final_ln"]["scale"],
-            params["final_ln"]["bias"],
-            cfg.layer_norm_eps,
-        )
+    else:
+        def body(carry, lp):
+            return encoder_block(carry, lp, cfg, fused), None
 
-    def body(carry, lp):
-        return encoder_block(carry, lp, cfg, fused), None
+        x, _ = jax.lax.scan(body, x, params["layers"])
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    if raw_padded:
+        return x
     if seq_padded:
         x = x[:, :s_true]
     return layer_norm(

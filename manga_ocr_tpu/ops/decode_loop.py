@@ -94,6 +94,12 @@ _LAYER_NAMES = (
     "w1", "s1", "b1", "w2", "s2", "b2", "mlns", "mlnb",
 )
 _CROSS_NAMES = ("K", "V")
+# fuse_kv mode: instead of precomputed K/V slabs, each layer carries the
+# cross k/v projection weights and the kernel computes its block's slabs
+# from the encoder output once per dispatch (glue elimination: the slabs
+# never round-trip HBM, and the final-LN/slice/4-matmul XLA tail between
+# the encoder scan and the decode kernel disappears entirely).
+_CROSSW_NAMES = ("cwk", "cbk", "cwv", "cbv")
 _COMMON_NAMES = (
     "tok_emb", "pos_emb", "tok_type", "elns", "elnb",
     "twt", "tbt", "hlns", "hlnb", "wp", "bp", "seg",
@@ -116,21 +122,47 @@ def _decode_loop_kernel(
     head_gelu,
     ablate: str = "",
     vocab_tile: int = VOCAB_TILE,
+    fuse_kv: bool = False,
+    final_ln_in_kernel: bool = False,
 ):
     nc = len(_COMMON_NAMES)
     common = dict(zip(_COMMON_NAMES, args[:nc]))
     off = nc
+    if fuse_kv:
+        enc_ref = args[off]
+        off += 1
+        if final_ln_in_kernel:
+            fns_ref, fnb_ref = args[off], args[off + 1]
+            off += 2
     layers = []
+    cross_ws = []
     for _ in range(num_layers):
-        cross = dict(zip(_CROSS_NAMES, args[off : off + len(_CROSS_NAMES)]))
-        off += len(_CROSS_NAMES)
+        if fuse_kv:
+            cross_ws.append(
+                dict(zip(_CROSSW_NAMES, args[off : off + len(_CROSSW_NAMES)]))
+            )
+            off += len(_CROSSW_NAMES)
+            cross = None
+        else:
+            cross = dict(zip(_CROSS_NAMES, args[off : off + len(_CROSS_NAMES)]))
+            off += len(_CROSS_NAMES)
         lw = dict(zip(_LAYER_NAMES, args[off : off + len(_LAYER_NAMES)]))
         off += len(_LAYER_NAMES)
         layers.append((cross, lw))
     tok_ref, len_ref = args[off], args[off + 1]
     off2 = off + 2
     caches = args[off2 : off2 + 2 * num_layers]  # ck/cv VMEM scratch
-    prev_ref, done_ref = args[off2 + 2 * num_layers : off2 + 2 * num_layers + 2]
+    off2 += 2 * num_layers
+    if fuse_kv:
+        # per-layer cross-K/V slabs live in scratch, filled once per program
+        kv_slabs = args[off2 : off2 + 2 * num_layers]
+        off2 += 2 * num_layers
+        for l in range(num_layers):
+            layers[l] = (
+                {"K": kv_slabs[2 * l], "V": kv_slabs[2 * l + 1]},
+                layers[l][1],
+            )
+    prev_ref, done_ref = args[off2], args[off2 + 1]
     # (A manual single-buffered slab-DMA variant was measured WORSE than
     # Mosaic's double-buffered block-spec slabs — 0.645/0.769 vs 0.584
     # ms/token — per-program-step cost is chain latency + work ∝ g, optimal
@@ -148,6 +180,30 @@ def _decode_loop_kernel(
     # VMEM) is NaN — the ctx sum must see real zeros.
     for c in caches:
         c[...] = jnp.zeros(c.shape, c.dtype)
+
+    if fuse_kv:
+        # Compute this block's cross-K/V slabs once per program, straight
+        # from the encoder output block: (optional final LN) then the k/v
+        # projections as 3-D dot_generals (no reshape — a [g,S,D]→[g·S,D]
+        # flatten lowers through a relayout at unaligned S).  Numerics
+        # mirror the XLA tail exactly: f32 LN stats → bf16 cast → bf16
+        # matmul with f32 accumulation → f32 bias add → bf16 cast.
+        dt0 = caches[0].dtype
+        e = enc_ref[:]
+        if final_ln_in_kernel:
+            e = _ln32(e, fns_ref[:], fnb_ref[:], eps)
+        e = e.astype(dt0)
+        for l in range(num_layers):
+            cw = cross_ws[l]
+            for name_w, name_b, slab in (
+                ("cwk", "cbk", layers[l][0]["K"]),
+                ("cwv", "cbv", layers[l][0]["V"]),
+            ):
+                y = jax.lax.dot_general(
+                    e, cw[name_w][:], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + cw[name_b][:]
+                slab[...] = y.astype(dt0)
 
     # Per-head attention WITHOUT per-step whole-slab elementwise work: the
     # round-3 first cut computed scores as (q ⊙ K) @ seg — casting and
@@ -367,12 +423,12 @@ def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
     static_argnames=(
         "steps", "num_layers", "num_heads", "eps", "bos", "eos",
         "pad", "dt", "int8_w", "s_valid", "group", "gelu_mode", "interpret",
-        "batch", "ablate", "vocab_tile",
+        "batch", "ablate", "vocab_tile", "fuse_kv",
     ),
 )
 def _loop_call(
     commons: tuple,
-    crosses: tuple,  # per-layer (K, V) bf16 slabs
+    crosses: tuple,  # per-layer (K, V) bf16 slabs; () in fuse_kv mode
     layer_ws: tuple,  # per-layer tuple in _LAYER_NAMES order
     batch: int,
     steps: int,
@@ -390,6 +446,10 @@ def _loop_call(
     interpret: bool = False,
     ablate: str = "",  # perf diagnosis only: skip named step stages
     vocab_tile: int = VOCAB_TILE,
+    fuse_kv: bool = False,
+    enc=None,  # [B, S_pad, D] raw encoder output (fuse_kv mode)
+    final_ln: tuple | None = None,  # (scale f32, bias f32) encoder final LN
+    cross_ws: tuple = (),  # per-layer (cwk, cbk, cwv, cbv) (fuse_kv mode)
 ):
     g = pick_group(batch, group)
     d = commons[0].shape[-1]
@@ -400,16 +460,28 @@ def _loop_call(
             memory_space=pltpu.VMEM,
         )
 
+    def batch_block(shape3):
+        return pl.BlockSpec(shape3, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
     in_specs = [const(a.shape) for a in commons]
     flat_inputs = list(commons)
-    s_len = crosses[0][0].shape[1]
+    if fuse_kv:
+        s_len = enc.shape[1]
+        in_specs.append(batch_block((g, s_len, d)))
+        flat_inputs.append(enc)
+        if final_ln is not None:
+            in_specs += [const(a.shape) for a in final_ln]
+            flat_inputs += list(final_ln)
+    else:
+        s_len = crosses[0][0].shape[1]
     for l in range(num_layers):
-        K, V = crosses[l]
-        in_specs += [
-            pl.BlockSpec((g, s_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, s_len, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ]
-        flat_inputs += [K, V]
+        if fuse_kv:
+            in_specs += [const(a.shape) for a in cross_ws[l]]
+            flat_inputs += list(cross_ws[l])
+        else:
+            K, V = crosses[l]
+            in_specs += [batch_block((g, s_len, d)), batch_block((g, s_len, d))]
+            flat_inputs += [K, V]
         in_specs += [const(a.shape) for a in layer_ws[l]]
         flat_inputs += list(layer_ws[l])
 
@@ -418,8 +490,15 @@ def _loop_call(
         steps=steps, num_layers=num_layers, heads=num_heads, dh=d // num_heads,
         eps=eps, int8_w=int8_w, s_valid=s_valid, bos=bos, eos=eos, pad=pad,
         gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"), ablate=ablate,
-        vocab_tile=vocab_tile,
+        vocab_tile=vocab_tile, fuse_kv=fuse_kv,
+        final_ln_in_kernel=fuse_kv and final_ln is not None,
     )
+    scratch = [pltpu.VMEM((g, steps, d), dt) for _ in range(2 * num_layers)]
+    if fuse_kv:
+        scratch += [
+            pltpu.VMEM((g, s_len, d), dt) for _ in range(2 * num_layers)
+        ]
+    scratch += [pltpu.VMEM((g, 1), jnp.int32), pltpu.VMEM((g, 1), jnp.int32)]
     tokens, lengths = pl.pallas_call(
         kernel,
         grid=(batch // g,),
@@ -432,10 +511,7 @@ def _loop_call(
             jax.ShapeDtypeStruct((batch, steps + 1), jnp.int32),
             jax.ShapeDtypeStruct((batch, 1), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((g, steps, d), dt) for _ in range(2 * num_layers)
-        ]
-        + [pltpu.VMEM((g, 1), jnp.int32), pltpu.VMEM((g, 1), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024
         ),
@@ -446,7 +522,7 @@ def _loop_call(
 
 def greedy_decode_loop(
     params_decoder: dict,
-    cross,  # decoder.CrossKVPacked
+    cross,  # decoder.CrossKVPacked; None in fuse_kv mode
     cfg,  # DecoderConfig
     steps: int,
     dtype=jnp.bfloat16,
@@ -456,33 +532,54 @@ def greedy_decode_loop(
     ablate: str = "",
     vmem_budget_mb: int = 110,
     vocab_tile: int = VOCAB_TILE,
+    enc_raw=None,  # [B, S_pad, D] raw pre-final-LN encoder output
+    s_valid: int | None = None,  # valid encoder rows of enc_raw
+    enc_final_ln: dict | None = None,  # encoder final-LN params
 ) -> tuple[jax.Array, jax.Array]:
     """Run ``steps`` greedy decode steps entirely inside one Pallas kernel.
 
     Returns (tokens [B, steps+1] starting with BOS, lengths [B]) with the
     exact done-masking semantics of ``model.greedy_decode`` (PAD after EOS,
     lengths count BOS + emitted tokens incl. EOS).
+
+    Two cross-attention source modes: precomputed ``cross`` slabs
+    (decoder.CrossKVPacked), or ``enc_raw`` + ``enc_final_ln`` (fuse_kv):
+    the kernel applies the encoder final LN and computes each batch block's
+    K/V slabs itself, with the same numerics as ``ops.common.dense`` on the
+    LN'd output — the slabs never exist in HBM.
     """
     interpret = interpret or jax.default_backend() == "cpu"
-    batch = cross.k.shape[1]
+    fuse_kv = enc_raw is not None
+    batch = enc_raw.shape[0] if fuse_kv else cross.k.shape[1]
     d = cfg.hidden_size
     dt = dtype
-    int8_kv = cross.k_scale is not None
     layers = params_decoder["layers"]
     int8_w = "w_q" in layers["self_attn"]["q"]
 
     # Auto-shrink the batch block so the resident set (double-buffered
     # cross slabs + caches + weights/tables + transients) stays under the
     # VMEM cap; long budgets (steps ~300) force smaller blocks.
-    s_enc = cross.k.shape[2]
+    if fuse_kv:
+        s_pad = enc_raw.shape[1]
+        s_enc = s_valid if s_valid is not None else s_pad
+    else:
+        int8_kv = cross.k_scale is not None
+        s_pad = s_enc = cross.k.shape[2]
     itemsize = jnp.dtype(dt).itemsize
     fixed = 60e6  # weights + embed/head tables + transients, roughly
     while group > 8:
-        per_row = (
-            2 * 2 * cfg.num_layers * s_enc * d * itemsize  # bf16 slabs,
-            # double-buffered block-spec inputs
-            + 2 * cfg.num_layers * steps * d * itemsize  # caches
-        )
+        if fuse_kv:
+            per_row = (
+                2 * s_pad * d * itemsize  # double-buffered enc block input
+                + 2 * cfg.num_layers * s_pad * d * itemsize  # slab scratch
+                + 2 * cfg.num_layers * steps * d * itemsize  # caches
+            )
+        else:
+            per_row = (
+                2 * 2 * cfg.num_layers * s_pad * d * itemsize  # bf16 slabs,
+                # double-buffered block-spec inputs
+                + 2 * cfg.num_layers * steps * d * itemsize  # caches
+            )
         if fixed + group * per_row <= vmem_budget_mb * 1e6:
             break
         group //= 2
@@ -504,19 +601,34 @@ def greedy_decode_loop(
     )
 
     crosses = []
+    cross_ws = []
     layer_ws = []
     for l in range(cfg.num_layers):
-        # bf16 slabs: the attentions are batched MXU matmuls against them,
-        # and resident slabs are fetched once per dispatch, so int8 storage
-        # would only add a per-step dequant cast.  Int8-stored CrossKVPacked
-        # (the XLA path's layout) is dequantized here, outside the kernel.
-        if int8_kv:
-            k_l = (cross.k[l].astype(jnp.float32) * cross.k_scale[l][..., None]).astype(dt)
-            v_l = (cross.v[l].astype(jnp.float32) * cross.v_scale[l][:, None, :]).astype(dt)
-        else:
-            k_l, v_l = cross.k[l].astype(dt), cross.v[l].astype(dt)
-        crosses.append((k_l, v_l))
         lp = jax.tree.map(lambda a: a[l], layers)
+        if fuse_kv:
+            # cross k/v projection weights go into the kernel (they stay
+            # bf16 even under quantize_decoder — see models/quantize.py)
+            ca_kv = lp["cross_attn"]
+            cross_ws.append(
+                (
+                    ca_kv["k"]["kernel"].astype(dt),
+                    ca_kv["k"]["bias"].astype(jnp.float32),
+                    ca_kv["v"]["kernel"].astype(dt),
+                    ca_kv["v"]["bias"].astype(jnp.float32),
+                )
+            )
+        else:
+            # bf16 slabs: the attentions are batched MXU matmuls against
+            # them, and resident slabs are fetched once per dispatch, so
+            # int8 storage would only add a per-step dequant cast.
+            # Int8-stored CrossKVPacked (the XLA path's layout) is
+            # dequantized here, outside the kernel.
+            if int8_kv:
+                k_l = (cross.k[l].astype(jnp.float32) * cross.k_scale[l][..., None]).astype(dt)
+                v_l = (cross.v[l].astype(jnp.float32) * cross.v_scale[l][:, None, :]).astype(dt)
+            else:
+                k_l, v_l = cross.k[l].astype(dt), cross.v[l].astype(dt)
+            crosses.append((k_l, v_l))
         sa, ca, mlp_p = lp["self_attn"], lp["cross_attn"], lp["mlp"]
         wq, sq, bq = _dense_int8_or(sa["q"], dt)
         wk, sk, bk = _dense_int8_or(sa["k"], dt)
@@ -543,6 +655,12 @@ def greedy_decode_loop(
             )
         )
 
+    final_ln = None
+    if fuse_kv and enc_final_ln is not None:
+        final_ln = (
+            enc_final_ln["scale"].astype(jnp.float32),
+            enc_final_ln["bias"].astype(jnp.float32),
+        )
     tokens_bt, lengths_b1 = _loop_call(
         commons, tuple(crosses), tuple(layer_ws),
         batch=batch, steps=steps, num_layers=cfg.num_layers,
@@ -550,6 +668,7 @@ def greedy_decode_loop(
         bos=cfg.bos_token_id, eos=cfg.eos_token_id,
         pad=cfg.pad_token_id, dt=dt, int8_w=int8_w,
         group=group, gelu_mode=gelu_mode, interpret=interpret, ablate=ablate,
-        vocab_tile=vocab_tile,
+        vocab_tile=vocab_tile, fuse_kv=fuse_kv, enc=enc_raw,
+        final_ln=final_ln, cross_ws=tuple(cross_ws),
     )
     return tokens_bt, lengths_b1[:, 0]

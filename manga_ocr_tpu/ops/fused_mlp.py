@@ -59,25 +59,38 @@ def _kernel_int8(
     pre_ln,
     post_ln,
     gelu_fn,
+    subtiles: int = 1,
 ):
-    x = x_ref[:]
-    h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps) if pre_ln else x.astype(jnp.float32)
-    hq, sx = quant_rows(h32)
-    cdim = hq.ndim - 1  # contract last dim (2-D [M,D] or 3-D [gb,S,D] blocks)
-    acc = jax.lax.dot_general(
-        hq, w1_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
-    h = gelu_fn(h)
-    hq2, sx2 = quant_rows(h)
-    acc2 = jax.lax.dot_general(
-        hq2, w2_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    o = acc2.astype(jnp.float32) * sx2 * s2_ref[:] + b2_ref[:]
-    r = x + o.astype(x.dtype)
-    if post_ln:  # post-LN decoder block: LN(x + MLP(x)) folded in
-        r = _ln32(r, lns_ref[:], lnb_ref[:], eps).astype(x.dtype)
-    o_ref[:] = r
+    def chain(x):
+        h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps) if pre_ln else x.astype(jnp.float32)
+        hq, sx = quant_rows(h32)
+        cdim = hq.ndim - 1  # contract last dim (2-D [M,D] or 3-D [gb,S,D] blocks)
+        acc = jax.lax.dot_general(
+            hq, w1_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        h = acc.astype(jnp.float32) * sx * s1_ref[:] + b1_ref[:]
+        h = gelu_fn(h)
+        hq2, sx2 = quant_rows(h)
+        acc2 = jax.lax.dot_general(
+            hq2, w2_ref[:], (((cdim,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        o = acc2.astype(jnp.float32) * sx2 * s2_ref[:] + b2_ref[:]
+        r = x + o.astype(x.dtype)
+        if post_ln:  # post-LN decoder block: LN(x + MLP(x)) folded in
+            r = _ln32(r, lns_ref[:], lnb_ref[:], eps).astype(x.dtype)
+        return r
+
+    if subtiles == 1 or x_ref.ndim != 2 or x_ref.shape[0] % subtiles:
+        o_ref[:] = chain(x_ref[:])
+        return
+    # Independent row-chunk chains: the per-chunk VPU epilogue (dequant →
+    # GELU → requant) has no dependency on the other chunks' MXU matmuls,
+    # so Mosaic can overlap chunk k's VPU work with chunk k±1's MXU work
+    # instead of serializing one long LN→quant→mm→GELU→quant→mm chain.
+    chunk = x_ref.shape[0] // subtiles
+    for i in range(subtiles):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        o_ref[sl] = chain(x_ref[sl])
 
 
 def _const_spec(shape):
@@ -88,7 +101,7 @@ def _const_spec(shape):
     jax.jit,
     static_argnames=(
         "eps", "tile_m", "interpret", "pre_ln", "post_ln", "gelu_mode",
-        "parallel_grid",
+        "parallel_grid", "subtiles",
     ),
 )
 def fused_mlp_block(
@@ -106,6 +119,8 @@ def fused_mlp_block(
     post_ln: bool = False,
     gelu_mode: str = "erf",  # "erf" (exact) | "sigmoid" (fast approx)
     parallel_grid: bool = False,  # mark the token-tile grid dim "parallel"
+    subtiles: int = 1,  # int8 path: split the tile into independent row
+    # chains so VPU epilogues overlap other chains' MXU matmuls
 ) -> jax.Array:
     """One fused [LN→]MLP→residual[→LN] block.  ``w1``/``w2`` are either bf16
     kernels or ``(int8 weights, per-channel f32 scales)`` tuples.
@@ -149,7 +164,8 @@ def fused_mlp_block(
         (w1q, s1), (w2q, s2) = w1, w2
         out = pl.pallas_call(
             functools.partial(
-                _kernel_int8, eps=eps, pre_ln=pre_ln, post_ln=post_ln, gelu_fn=gelu_fn
+                _kernel_int8, eps=eps, pre_ln=pre_ln, post_ln=post_ln,
+                gelu_fn=gelu_fn, subtiles=subtiles,
             ),
             grid=grid,
             in_specs=[

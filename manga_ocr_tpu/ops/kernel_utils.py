@@ -27,11 +27,17 @@ def quant_rows(h32):
     The scaling multiplies by a per-row reciprocal instead of dividing
     per element: the VPU divide is a multi-op sequence, and on the MLP's
     [tokens, 4D] pass it was a measurable slice of the kernel's VPU time.
-    ``sx * inv`` differs from 1 by ≤1 ulp — far below the int8 step."""
+    ``sx * inv`` differs from 1 by ≤1 ulp — far below the int8 step.
+
+    No clip: ``inv = fl(127/amax)`` with ``amax >= max|h|`` gives
+    ``|h * inv| <= 127 * (1 + 2eps) < 127.5``, so round-to-nearest can
+    never exceed ±127 — the old ``jnp.clip(..., -127, 127)`` was two
+    provably-dead VPU passes over the [tokens, 4D] MLP intermediate.
+    (``ops.quant.dense_int8`` mirrors this so XLA/Pallas round identically.)"""
     amax = jnp.maximum(jnp.max(jnp.abs(h32), axis=-1, keepdims=True), 1e-8)
     sx = amax * (1.0 / 127.0)
     inv = 127.0 / amax
-    hq = jnp.clip(jnp.round(h32 * inv), -127, 127).astype(jnp.int8)
+    hq = jnp.round(h32 * inv).astype(jnp.int8)
     return hq, sx
 
 

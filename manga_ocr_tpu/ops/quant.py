@@ -38,10 +38,11 @@ def dense_int8(
     x32 = x.astype(jnp.float32)
     amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8)
     sx = amax / 127.0
-    # reciprocal-multiply (not per-element divide) — mirrors
+    # reciprocal-multiply (not per-element divide), no clip — mirrors
     # kernel_utils.quant_rows so the XLA and Pallas int8 paths round
-    # identically (token-parity tests compare them exactly)
-    x_q = jnp.clip(jnp.round(x32 * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    # identically (token-parity tests compare them exactly); see there for
+    # why the clip is provably dead
+    x_q = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_q,
         w_q,

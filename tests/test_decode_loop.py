@@ -82,6 +82,82 @@ def test_loop_kernel_eos_done_masking(setup):
     np.testing.assert_array_equal(np.asarray(out.lengths), 2)
 
 
+def test_loop_kernel_fuse_cross_kv(setup):
+    """fuse_cross_kv (final LN + cross-K/V projections inside the kernel,
+    from the raw encoder output) emits exactly the precomputed-slab path's
+    tokens — through the full ocr_forward composition."""
+    cfg, params, _ = setup
+    px = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, cfg.encoder.image_size, cfg.encoder.image_size, 3)
+    )
+    ref_cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, step_kernel="fused_loop")
+    )
+    fuse_cfg = dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(
+            cfg.decoder, step_kernel="fused_loop", fuse_cross_kv=True
+        ),
+    )
+    ref = mdl.ocr_forward(params, px, ref_cfg, max_length=12)
+    got = mdl.ocr_forward(params, px, fuse_cfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_loop_kernel_fuse_cross_kv_seq_padded(setup):
+    """fuse_cross_kv with an encoder seq-pad (s_valid < slab length): the
+    kernel's LN runs over the padded garbage rows but cross-attention masks
+    their keys — tokens must match the sliced+LN'd XLA tail exactly."""
+    cfg, params, _ = setup
+    px = jax.random.uniform(
+        jax.random.PRNGKey(2), (4, cfg.encoder.image_size, cfg.encoder.image_size, 3)
+    )
+    enc_pad = dataclasses.replace(
+        cfg.encoder, attn_kernel="fused_layer", mlp_kernel="fused", seq_pad_to=8
+    )
+    ref_cfg = dataclasses.replace(
+        cfg,
+        encoder=enc_pad,
+        decoder=dataclasses.replace(cfg.decoder, step_kernel="fused_loop"),
+    )
+    fuse_cfg = dataclasses.replace(
+        ref_cfg,
+        decoder=dataclasses.replace(ref_cfg.decoder, fuse_cross_kv=True),
+    )
+    ref = mdl.ocr_forward(params, px, ref_cfg, max_length=12)
+    got = mdl.ocr_forward(params, px, fuse_cfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
+def test_loop_kernel_fuse_cross_kv_int8_serving_form(setup):
+    """fuse_cross_kv composed with int8 decoder projections (the serving
+    form): cross k/v kernels stay bf16 (quantize_decoder leaves them) and
+    tokens still match the unfused path."""
+    from manga_ocr_tpu.models.quantize import quantize_decoder
+
+    cfg, params, _ = setup
+    px = jax.random.uniform(
+        jax.random.PRNGKey(3), (4, cfg.encoder.image_size, cfg.encoder.image_size, 3)
+    )
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"])
+    ref_cfg = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, step_kernel="fused_loop")
+    )
+    fuse_cfg = dataclasses.replace(
+        cfg,
+        decoder=dataclasses.replace(
+            cfg.decoder, step_kernel="fused_loop", fuse_cross_kv=True
+        ),
+    )
+    ref = mdl.ocr_forward(qparams, px, ref_cfg, max_length=12)
+    got = mdl.ocr_forward(qparams, px, fuse_cfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
+
+
 def test_loop_kernel_direct_wrapper(setup):
     """Direct greedy_decode_loop call returns (tokens [B, steps+1], lengths)
     with BOS first."""

@@ -308,3 +308,18 @@ def test_engine_serving_kernels_default(cfg, params):
     crop = rng.integers(0, 256, size=(40, 60, 3)).astype(np.uint8)
     out = eng.ocr_page([crop])
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_mlp_subtiles_encode_exact(cfg, params):
+    """mlp_subtiles splits the int8 MLP tile into independent row-chunk
+    chains (scheduling only — every op is row-local, so the math is
+    bit-identical to the single-chain kernel)."""
+    px = _pixels(cfg, n=4, seed=23)
+    base = _enc_cfg(
+        cfg, mlp_kernel="fused", attn_kernel="fused_layer", gelu_mode="sigmoid"
+    )
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    ref = np.asarray(vit.encode(qenc, px, base))
+    for st in (2, 4):
+        got = vit.encode(qenc, px, dataclasses.replace(base, mlp_subtiles=st))
+        np.testing.assert_array_equal(np.asarray(got), ref, err_msg=f"subtiles={st}")
