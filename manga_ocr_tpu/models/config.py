@@ -68,7 +68,16 @@ class EncoderConfig:
     # int8 fused-MLP only: split each token tile into this many independent
     # row-chunk chains so one chunk's VPU epilogue (dequant→GELU→requant)
     # can overlap another's MXU matmuls.  Scheduling only — identical math.
+    # Measured WORSE in-context (37.8 -> 38.4/40.2 ms scan12 at 2/4): the
+    # split costs MXU-sized matmul efficiency more than the overlap buys.
     mlp_subtiles: int = 1
+    # fused_layer attention: run q/k/v as ONE concatenated [D, 3D] matmul
+    # (the quantized activation read once, one MXU op instead of three).
+    # Bit-exact — each output column's contraction is unchanged.
+    attn_fuse_qkv: bool = False
+    # fused_layer attention batch-block rows per grid program.  Swept
+    # in-context on v5e (docs/PERF.md): 4 beats 2/8/16; 32 is VMEM-infeasible.
+    attn_group: int = 4
 
     @property
     def num_patches(self) -> int:
@@ -118,6 +127,22 @@ class DecoderConfig:
     # transform+GELU+LN+tiled vocab matmul+argmax in one kernel — the [B, V]
     # f32 logits never round-trip HBM).
     head_kernel: str = "xla"
+    # fused_loop only: split each program's rows into this many INDEPENDENT
+    # interleaved chains (block g -> chains x g/chains rows advancing in
+    # alternating step bodies).  The dominant per-program cost is the
+    # serial dependent-op chain per step (docs/PERF.md round 3: ~0.32 of
+    # 0.55 ms/token at g=16); independent chains give the scheduler work to
+    # hide it under.  Scheduling only — token-parity-tested.  Measured
+    # WORSE on-chip (27.6 -> 34.6 ms t31 at 2 chains/g=16, 35.8 at g=32):
+    # halving the rows per step body costs more op-emission efficiency
+    # than the latency hiding buys.  Flag kept for documentation.
+    loop_chains: int = 1
+    # fused_loop only: greedy head emits all vocab-tile matmuls before a
+    # tree (max, argmax) reduction, instead of the per-tile running-update
+    # chain (each tile's matmul waiting on the previous tile's VPU select).
+    # Same first-max-wins semantics; parity-tested.  Measured -0.7 ms t31
+    # at B=256 on v5e (scripts/perf_decode_chains.py) — serving default.
+    head_phased: bool = False
     # fused_loop only: compute the cross-K/V slabs (and the encoder's final
     # LayerNorm) INSIDE the decode mega-kernel, from the raw padded encoder
     # output.  Eliminates the whole XLA tail between the encoder scan and
@@ -178,6 +203,10 @@ class MangaOCRConfig:
                 # whole-loop decode kernel: 0.58 vs 0.89 ms/token slope-timed
                 # (docs/PERF.md round 3); ignores cross_kv_int8 (bf16 slabs)
                 step_kernel="fused_loop",
+                # phased greedy head: all vocab-tile matmuls emitted before
+                # a tree (max, argmax) reduction — -0.7 ms/dispatch measured
+                # (scripts/perf_decode_chains.py); token-parity-tested
+                head_phased=True,
                 # fuse_cross_kv stays OFF: measured exactly neutral e2e on
                 # the real chip (60.42 -> 60.42 ms at B=256 — the ~1.6 ms
                 # XLA tail it removes was already hidden under the decode

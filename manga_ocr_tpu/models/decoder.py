@@ -165,12 +165,22 @@ def precompute_cross_kv_packed(
     see ``CrossKVPacked``."""
     if int8 is None:
         int8 = cfg.cross_kv_int8
-    ks, vs = [], []
-    for l in range(cfg.num_layers):
-        lp = jax.tree.map(lambda x: x[l], params["layers"]["cross_attn"])
-        ks.append(dense(enc_out, lp["k"]["kernel"], lp["k"]["bias"]))
-        vs.append(dense(enc_out, lp["v"]["kernel"], lp["v"]["bias"]))
-    k_all, v_all = jnp.stack(ks), jnp.stack(vs)  # [L, B, S, D]
+    # All 2L projections consume the same enc_out: run them as ONE wide
+    # [D, 2L*D] matmul (bit-exact — ``dense`` is column-independent, so
+    # concatenating output columns changes nothing per column) instead of
+    # 2L serial [D, D] ops.  Shaves tail ops between the encoder scan and
+    # the decode kernel.
+    ca = params["layers"]["cross_attn"]
+    wk, wv = ca["k"]["kernel"], ca["v"]["kernel"]  # [L, D, Dk]
+    bk, bv = ca["k"]["bias"], ca["v"]["bias"]  # [L, Dk]
+    n_l, d_in, d_out = wk.shape
+    w_all = jnp.swapaxes(jnp.concatenate([wk, wv], axis=0), 0, 1)
+    w_all = w_all.reshape(d_in, 2 * n_l * d_out)
+    b_all = jnp.concatenate([bk, bv], axis=0).reshape(2 * n_l * d_out)
+    y = dense(enc_out, w_all, b_all)  # [B, S, 2L*Dk]
+    y = y.reshape(*enc_out.shape[:-1], 2 * n_l, d_out)
+    kv = jnp.moveaxis(y, -2, 0)  # [2L, B, S, Dk]
+    k_all, v_all = kv[:n_l], kv[n_l:]  # [L, B, S, D]
     if not int8:
         return CrossKVPacked(k_all, v_all)
     k32, v32 = k_all.astype(jnp.float32), v_all.astype(jnp.float32)

@@ -99,6 +99,8 @@ def encoder_block(
             eps=cfg.layer_norm_eps,
             parallel_grid=cfg.parallel_grid,
             batched_sdpa=cfg.batched_sdpa,
+            fuse_qkv=cfg.attn_fuse_qkv,
+            group=cfg.attn_group,
             # x may be seq-padded past seq_len (cfg.seq_pad_to): mask the
             # padded key columns out of the softmax
             valid_len=min(cfg.seq_len, x.shape[1]),

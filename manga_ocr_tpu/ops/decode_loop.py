@@ -124,6 +124,8 @@ def _decode_loop_kernel(
     vocab_tile: int = VOCAB_TILE,
     fuse_kv: bool = False,
     final_ln_in_kernel: bool = False,
+    chains: int = 1,
+    head_phased: bool = False,
 ):
     nc = len(_COMMON_NAMES)
     common = dict(zip(_COMMON_NAMES, args[:nc]))
@@ -245,35 +247,36 @@ def _decode_loop_kernel(
         # through an unsupported Mosaic gather)
         return jnp.sum(heads_out * segT[None], axis=1)  # [g, D] f32
 
-    def self_attn(x, t, lw, ck, cv, t_rows):
+    def self_attn(x, t, lw, ck, cv, t_rows, sl):
         qkv = _proj(
             x.astype(jnp.float32), lw["wqkv"][:], lw["sqkv"][:], lw["bqkv"][:],
             int8_w, dt,
-        )  # [g, 3D] f32
+        )  # [gc, 3D] f32
         q = qkv[:, :d]
         # cache layout [g, T, D] (batch-leading for the attention matmuls —
         # Mosaic's dot_general requires batch dims at equal positions);
         # written via iota-masked select: a dynamic-index store on the
-        # sublane dim would need 8-aligned offsets Mosaic can't prove
+        # sublane dim would need 8-aligned offsets Mosaic can't prove.
+        # ``sl`` selects this chain's rows (full slice when chains == 1).
         mask_t = t_rows == t  # [1, T, 1]
-        k_new = jnp.expand_dims(qkv[:, d : 2 * d].astype(dt), 1)  # [g, 1, D]
+        k_new = jnp.expand_dims(qkv[:, d : 2 * d].astype(dt), 1)  # [gc, 1, D]
         v_new = jnp.expand_dims(qkv[:, 2 * d :].astype(dt), 1)
         # (slice+newaxis in ONE getitem lowers through an unsupported gather)
-        ck[:] = jnp.where(mask_t, k_new, ck[:])
-        cv[:] = jnp.where(mask_t, v_new, cv[:])
+        ck[sl] = jnp.where(mask_t, k_new, ck[sl])
+        cv[sl] = jnp.where(mask_t, v_new, cv[sl])
         t_len = ck.shape[1]
-        ctx = _attend(q, ck[:], cv[:], t_len, mask_le=t)
+        ctx = _attend(q, ck[sl], cv[sl], t_len, mask_le=t)
         out = _proj(ctx, lw["wo"][:], lw["so"][:], lw["bo"][:], int8_w, dt)
         return _ln32(
             (x + out.astype(dt)).astype(jnp.float32), lw["slns"][:], lw["slnb"][:], eps
         ).astype(dt)
 
-    def cross_attn(x, cross, lw):
+    def cross_attn(x, cross, lw, sl):
         q = _proj(
             x.astype(jnp.float32), lw["cwq"][:], lw["csq"][:], lw["cbq"][:],
             int8_w, dt,
-        )  # [g, D] f32
-        K, V = cross["K"][:], cross["V"][:]
+        )  # [gc, D] f32
+        K, V = cross["K"][sl], cross["V"][sl]
         s_len = K.shape[1]
         # slabs are padded to an 8-multiple S for the aligned DMA; mask the
         # padded key rows (mask_le keeps iota <= bound)
@@ -297,6 +300,7 @@ def _decode_loop_kernel(
         ).astype(dt)
 
     def head_argmax(x):
+        rows = x.shape[0]
         h = (
             jax.lax.dot_general(
                 x, common["twt"][:], (((1,), (0,)), ((), ())),
@@ -308,8 +312,44 @@ def _decode_loop_kernel(
         h = _ln32(h, common["hlns"][:], common["hlnb"][:], eps).astype(dt)
         wp = common["wp"]
         vocab = wp.shape[1]
-        best = jnp.full((g, 1), -jnp.inf, jnp.float32)
-        best_idx = jnp.zeros((g, 1), jnp.int32)
+        if head_phased:
+            # Emit ALL vocab-tile matmuls before any reduction (the MXU can
+            # pipeline independent matmuls; the running-update chain below
+            # makes each tile wait on the previous tile's VPU select), then
+            # reduce per-tile (max, argmax) candidates as a binary tree.
+            # Semantics identical to the chain: first global max wins (the
+            # chain replaces only on strictly-greater; the tree keeps the
+            # earlier-index candidate on ties).
+            tiles = [
+                (
+                    j,
+                    jax.lax.dot_general(
+                        h, wp[:, j : j + vocab_tile], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + common["bp"][j : j + vocab_tile],
+                )
+                for j in range(0, vocab, vocab_tile)
+            ]
+            cands = [
+                (
+                    jnp.max(lg, axis=-1, keepdims=True),
+                    jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None] + j,
+                )
+                for j, lg in tiles
+            ]
+            while len(cands) > 1:
+                nxt = []
+                for k in range(0, len(cands) - 1, 2):
+                    (ma, ia), (mb, ib) = cands[k], cands[k + 1]
+                    keep = ma >= mb  # left = earlier index: ties keep first
+                    nxt.append((jnp.where(keep, ma, mb), jnp.where(keep, ia, ib)))
+                if len(cands) % 2:
+                    nxt.append(cands[-1])
+                cands = nxt
+            return cands[0][1]
+        best = jnp.full((rows, 1), -jnp.inf, jnp.float32)
+        best_idx = jnp.zeros((rows, 1), jnp.int32)
         for j in range(0, vocab, vocab_tile):
             logits = (
                 jax.lax.dot_general(
@@ -323,7 +363,7 @@ def _decode_loop_kernel(
             upd = mx > best
             best_idx = jnp.where(upd, am + j, best_idx)
             best = jnp.where(upd, mx, best)
-        return best_idx  # [g, 1] int32 (2-D: 1-D loop carries hit Mosaic
+        return best_idx  # [rows, 1] int32 (2-D: 1-D loop carries hit Mosaic
         # "invalid relayout" on i32 vectors)
 
     # Per-row decode state (prev token, done flag) lives in VMEM scratch and
@@ -333,14 +373,25 @@ def _decode_loop_kernel(
     # matrix accumulates via iota-masked adds — Mosaic's tiling also rejects
     # (T, g)/(g, T) dynamic-index stores at these shapes, and a [g, T+1]
     # masked add per step is a trivial VPU op.
-    t_cols = jax.lax.broadcasted_iota(jnp.int32, (g, steps + 1), 1)
+    gc = g // chains  # rows per independent chain (g when chains == 1)
+    t_cols_full = jax.lax.broadcasted_iota(jnp.int32, (g, steps + 1), 1)
+    t_cols = (
+        t_cols_full
+        if chains == 1
+        else jax.lax.broadcasted_iota(jnp.int32, (gc, steps + 1), 1)
+    )
     t_rows = jax.lax.broadcasted_iota(jnp.int32, (1, steps, 1), 1)
     prev_ref[:] = jnp.full((g, 1), bos, jnp.int32)
     done_ref[:] = jnp.zeros((g, 1), jnp.int32)
     len_ref[:] = jnp.ones((g, 1), jnp.int32)
-    tok_ref[:] = jnp.where(t_cols == 0, bos, 0).astype(jnp.int32)
+    tok_ref[:] = jnp.where(t_cols_full == 0, bos, 0).astype(jnp.int32)
 
     EXIT_CHUNK = 8
+    chain_slices = (
+        (slice(None),)
+        if chains == 1
+        else tuple(slice(ci * gc, (ci + 1) * gc) for ci in range(chains))
+    )
 
     def one_chunk(c, _):
         # EOS-driven early exit at batch-block granularity, evaluated once
@@ -352,16 +403,23 @@ def _decode_loop_kernel(
         @pl.when(jnp.logical_not(jnp.all(done_ref[:] != 0)))
         def _live_chunk():
             for j in range(EXIT_CHUNK):
-                _one_step_body(c * EXIT_CHUNK + j)
+                # chains > 1: the block's rows split into independent
+                # row-chains whose step bodies are emitted interleaved —
+                # chain A's step-t ops have no dependency on chain B's, so
+                # the scheduler can hide one chain's serial-chain latency
+                # (the dominant per-program cost, docs/PERF.md) under the
+                # other's work
+                for sl in chain_slices:
+                    _one_step_body(c * EXIT_CHUNK + j, sl)
 
         return 0
 
-    def _one_step_body(t):
-        prev = prev_ref[:]  # [g, 1] i32
-        done = done_ref[:] != 0
+    def _one_step_body(t, sl):
+        prev = prev_ref[sl]  # [gc, 1] i32
+        done = done_ref[sl] != 0
         # embedding via exact one-hot matmul (no gather)
         onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (g, v), 1) == prev
+            jax.lax.broadcasted_iota(jnp.int32, (gc, v), 1) == prev
         ).astype(dt)
         emb = jax.lax.dot_general(
             onehot, common["tok_emb"][:], (((1,), (0,)), ((), ())),
@@ -386,23 +444,23 @@ def _decode_loop_kernel(
             cross, lw = layers[l]
             ck, cv = caches[2 * l], caches[2 * l + 1]
             if "self" not in ablate:
-                x = self_attn(x, t, lw, ck, cv, t_rows)
+                x = self_attn(x, t, lw, ck, cv, t_rows, sl)
             if "cross" not in ablate:
-                x = cross_attn(x, cross, lw)
+                x = cross_attn(x, cross, lw, sl)
             if "mlp" not in ablate:
                 x = mlp(x, lw)
         if "head" in ablate:
             nxt = prev + 1  # keep the loop-carried dependency shape
         else:
-            nxt = head_argmax(x)  # [g, 1]
+            nxt = head_argmax(x)  # [gc, 1]
         nxt = jnp.where(done, pad, nxt)
-        tok_ref[:] = tok_ref[:] + jnp.where(t_cols == t + 1, nxt, 0)
+        tok_ref[sl] = tok_ref[sl] + jnp.where(t_cols == t + 1, nxt, 0)
         # guard the exit-chunk's phantom tail steps (t >= steps): their
         # token/cache writes are natural no-ops, but lengths would overcount
         live = jnp.logical_and(jnp.logical_not(done), t < steps)
-        len_ref[:] = len_ref[:] + jnp.where(live, 1, 0)
-        prev_ref[:] = nxt
-        done_ref[:] = jnp.logical_or(done, nxt == eos).astype(jnp.int32)
+        len_ref[sl] = len_ref[sl] + jnp.where(live, 1, 0)
+        prev_ref[sl] = nxt
+        done_ref[sl] = jnp.logical_or(done, nxt == eos).astype(jnp.int32)
 
     jax.lax.fori_loop(0, -(-steps // EXIT_CHUNK), one_chunk, 0)
 
@@ -423,7 +481,7 @@ def _dense_int8_or(p: dict, dt, concat_qkv: bool = False):
     static_argnames=(
         "steps", "num_layers", "num_heads", "eps", "bos", "eos",
         "pad", "dt", "int8_w", "s_valid", "group", "gelu_mode", "interpret",
-        "batch", "ablate", "vocab_tile", "fuse_kv",
+        "batch", "ablate", "vocab_tile", "fuse_kv", "chains", "head_phased",
     ),
 )
 def _loop_call(
@@ -450,8 +508,12 @@ def _loop_call(
     enc=None,  # [B, S_pad, D] raw encoder output (fuse_kv mode)
     final_ln: tuple | None = None,  # (scale f32, bias f32) encoder final LN
     cross_ws: tuple = (),  # per-layer (cwk, cbk, cwv, cbv) (fuse_kv mode)
+    chains: int = 1,  # independent interleaved row-chains per program
+    head_phased: bool = False,  # vocab head: all matmuls first, tree argmax
 ):
     g = pick_group(batch, group)
+    if g % chains or (not interpret and (g // chains) % 8):
+        chains = 1  # chain rows must be sublane-aligned slices on TPU
     d = commons[0].shape[-1]
 
     def const(shape):
@@ -492,6 +554,7 @@ def _loop_call(
         gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"), ablate=ablate,
         vocab_tile=vocab_tile, fuse_kv=fuse_kv,
         final_ln_in_kernel=fuse_kv and final_ln is not None,
+        chains=chains, head_phased=head_phased,
     )
     scratch = [pltpu.VMEM((g, steps, d), dt) for _ in range(2 * num_layers)]
     if fuse_kv:
@@ -535,6 +598,8 @@ def greedy_decode_loop(
     enc_raw=None,  # [B, S_pad, D] raw pre-final-LN encoder output
     s_valid: int | None = None,  # valid encoder rows of enc_raw
     enc_final_ln: dict | None = None,  # encoder final-LN params
+    chains: int | None = None,  # None -> cfg.loop_chains
+    head_phased: bool | None = None,  # None -> cfg.head_phased
 ) -> tuple[jax.Array, jax.Array]:
     """Run ``steps`` greedy decode steps entirely inside one Pallas kernel.
 
@@ -549,6 +614,10 @@ def greedy_decode_loop(
     LN'd output — the slabs never exist in HBM.
     """
     interpret = interpret or jax.default_backend() == "cpu"
+    if chains is None:
+        chains = getattr(cfg, "loop_chains", 1)
+    if head_phased is None:
+        head_phased = getattr(cfg, "head_phased", False)
     fuse_kv = enc_raw is not None
     batch = enc_raw.shape[0] if fuse_kv else cross.k.shape[1]
     d = cfg.hidden_size
@@ -670,5 +739,6 @@ def greedy_decode_loop(
         group=group, gelu_mode=gelu_mode, interpret=interpret, ablate=ablate,
         vocab_tile=vocab_tile, fuse_kv=fuse_kv, enc=enc_raw,
         final_ln=final_ln, cross_ws=tuple(cross_ws),
+        chains=chains, head_phased=head_phased,
     )
     return tokens_bt, lengths_b1[:, 0]

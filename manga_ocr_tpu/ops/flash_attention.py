@@ -248,13 +248,20 @@ def _attn_core(
     dh: int,
     int8: bool,
     batched_sdpa: bool = False,
+    fuse_qkv: bool = False,
 ):
     """x + Attention(LN(x)) on an in-VMEM [g, sp, d] value; shared by the
-    attention-only and the merged attention+MLP layer kernels."""
+    attention-only and the merged attention+MLP layer kernels.
+
+    ``fuse_qkv``: wq/sq/bq hold the CONCATENATED [d, 3d]/[3d] q‖k‖v
+    projection (wk/wv/sk/sv/bk/bv unused) — one MXU matmul instead of
+    three, the quantized activation read once.  Bit-exact: each output
+    column's contraction is unchanged."""
     g, sp, d = x.shape
     h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps).reshape(g * sp, d)
 
     def proj(w_ref, s_ref, b_ref, hq, sx):
+        n = w_ref.shape[1]
         if int8:
             acc = jax.lax.dot_general(
                 hq, w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -265,15 +272,21 @@ def _attn_core(
                 jnp.dot(hq, w_ref[:], preferred_element_type=jnp.float32)
                 + b_ref[:]
             )
-        return y.astype(x.dtype).reshape(g, sp, d)
+        return y.astype(x.dtype).reshape(g, sp, n)
 
     if int8:
         hq, sx = _quant_rows(h32)
     else:
         hq, sx = h32.astype(x.dtype), None
-    q = proj(wq_ref, sq_ref, bq_ref, hq, sx)
-    k = proj(wk_ref, sk_ref, bk_ref, hq, sx)
-    v = proj(wv_ref, sv_ref, bv_ref, hq, sx)
+    if fuse_qkv:
+        qkv = proj(wq_ref, sq_ref, bq_ref, hq, sx)  # [g, sp, 3d]
+        q = qkv[:, :, :d]
+        k = qkv[:, :, d : 2 * d]
+        v = qkv[:, :, 2 * d :]
+    else:
+        q = proj(wq_ref, sq_ref, bq_ref, hq, sx)
+        k = proj(wk_ref, sk_ref, bk_ref, hq, sx)
+        v = proj(wv_ref, sv_ref, bv_ref, hq, sx)
 
     # static; with unpadded blocks (every current caller) the mask is moot —
     # kept for padded-sequence callers
@@ -369,20 +382,27 @@ def _attn_core(
 
 
 def _attn_layer_kernel(
-    x_ref,
-    wq_ref, wk_ref, wv_ref, wo_ref,
-    sq_ref, sk_ref, sv_ref, so_ref,
-    bq_ref, bk_ref, bv_ref, bo_ref,
-    lns_ref, lnb_ref,
-    o_ref,
-    *,
+    *args,
     eps: float,
     valid_len: int,
     heads: int,
     dh: int,
     int8: bool,
     batched_sdpa: bool = False,
+    fuse_qkv: bool = False,
 ):
+    if fuse_qkv:
+        (x_ref, wqkv_ref, wo_ref, sqkv_ref, so_ref, bqkv_ref, bo_ref,
+         lns_ref, lnb_ref, o_ref) = args
+        wq_ref, wk_ref, wv_ref = wqkv_ref, None, None
+        sq_ref, sk_ref, sv_ref = sqkv_ref, None, None
+        bq_ref, bk_ref, bv_ref = bqkv_ref, None, None
+    else:
+        (x_ref,
+         wq_ref, wk_ref, wv_ref, wo_ref,
+         sq_ref, sk_ref, sv_ref, so_ref,
+         bq_ref, bk_ref, bv_ref, bo_ref,
+         lns_ref, lnb_ref, o_ref) = args
     o_ref[:] = _attn_core(
         x_ref[:],
         wq_ref, wk_ref, wv_ref, wo_ref,
@@ -390,7 +410,7 @@ def _attn_layer_kernel(
         bq_ref, bk_ref, bv_ref, bo_ref,
         lns_ref, lnb_ref,
         eps=eps, valid_len=valid_len, heads=heads, dh=dh, int8=int8,
-        batched_sdpa=batched_sdpa,
+        batched_sdpa=batched_sdpa, fuse_qkv=fuse_qkv,
     )
 
 
@@ -398,7 +418,7 @@ def _attn_layer_kernel(
     jax.jit,
     static_argnames=(
         "num_heads", "eps", "interpret", "group", "batched_sdpa", "parallel_grid",
-        "valid_len",
+        "valid_len", "fuse_qkv",
     ),
 )
 def fused_attn_layer(
@@ -413,6 +433,7 @@ def fused_attn_layer(
     batched_sdpa: bool = False,
     parallel_grid: bool = False,  # mark the batch-block grid dim "parallel"
     valid_len: int | None = None,  # true token count when x is seq-padded
+    fuse_qkv: bool = False,  # one [d, 3d] q‖k‖v matmul (bit-exact)
 ) -> jax.Array:
     """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
     all; projection matmuls on the int8 MXU path when params are quantized
@@ -444,6 +465,16 @@ def fused_attn_layer(
     xs = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     cw = pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     cv = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    if fuse_qkv:
+        # concatenate q‖k‖v (cheap XLA op outside the kernel: ~1.7 MB int8)
+        ws = [jnp.concatenate(ws[:3], axis=1), ws[3]]
+        scales = [jnp.concatenate(scales[:3]), scales[3]]
+        biases = [jnp.concatenate(biases[:3]), biases[3]]
+        cw3 = pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        cv3 = pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM)
+        weight_specs = [cw3, cw, cv3, cv, cv3, cv, cv, cv]  # + ln scale/bias
+    else:
+        weight_specs = [cw] * 4 + [cv] * 10
     kernel = functools.partial(
         _attn_layer_kernel,
         eps=eps,
@@ -452,11 +483,12 @@ def fused_attn_layer(
         dh=dh,
         int8=int8,
         batched_sdpa=batched_sdpa,
+        fuse_qkv=fuse_qkv,
     )
     out = pl.pallas_call(
         kernel,
         grid=(b // group,),
-        in_specs=[xs] + [cw] * 4 + [cv] * 10,
+        in_specs=[xs] + weight_specs,
         out_specs=xs,
         out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -471,9 +503,11 @@ def fused_attn_layer(
         ),
     )(
         xp,
-        *ws,
-        *scales,
-        *biases,
+        *(
+            [ws[0], ws[1], scales[0], scales[1], biases[0], biases[1]]
+            if fuse_qkv
+            else [*ws, *scales, *biases]
+        ),
         ln_scale.astype(jnp.float32),
         ln_bias.astype(jnp.float32),
     )

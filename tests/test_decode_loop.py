@@ -59,6 +59,43 @@ def test_loop_kernel_int8_serving_form(setup):
     np.testing.assert_array_equal(np.asarray(got.lengths), np.asarray(ref.lengths))
 
 
+def test_loop_kernel_chains_and_phased_head(setup):
+    """loop_chains (interleaved independent row-chains per program) and
+    head_phased (grouped vocab matmuls + tree argmax) are scheduling-only:
+    tokens must match the plain fused_loop exactly, incl. combined and
+    with int8 decoder weights."""
+    from manga_ocr_tpu.models.quantize import quantize_decoder
+
+    cfg, params, enc_out = setup
+    base = dataclasses.replace(
+        cfg, decoder=dataclasses.replace(cfg.decoder, step_kernel="fused_loop")
+    )
+    ref = mdl.greedy_decode(params, enc_out, base, max_length=12, chunk_size=12)
+    qparams = dict(params)
+    qparams["decoder"] = quantize_decoder(params["decoder"])
+    qref = mdl.greedy_decode(qparams, enc_out, base, max_length=12, chunk_size=12)
+    for chains, phased in ((2, False), (1, True), (2, True)):
+        vcfg = dataclasses.replace(
+            base,
+            decoder=dataclasses.replace(
+                base.decoder, loop_chains=chains, head_phased=phased
+            ),
+        )
+        got = mdl.greedy_decode(params, enc_out, vcfg, max_length=12, chunk_size=12)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens),
+            err_msg=f"chains={chains} phased={phased}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.lengths), np.asarray(ref.lengths)
+        )
+        qgot = mdl.greedy_decode(qparams, enc_out, vcfg, max_length=12, chunk_size=12)
+        np.testing.assert_array_equal(
+            np.asarray(qgot.tokens), np.asarray(qref.tokens),
+            err_msg=f"int8 chains={chains} phased={phased}",
+        )
+
+
 def test_loop_kernel_eos_done_masking(setup):
     """Rows that emit EOS flip to PAD and stop counting — checked by making
     EOS the argmax for one row via a biased head."""

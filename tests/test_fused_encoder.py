@@ -310,6 +310,29 @@ def test_engine_serving_kernels_default(cfg, params):
     assert len(out) == 1 and isinstance(out[0], str)
 
 
+def test_attn_fuse_qkv_encode_exact(cfg, params):
+    """attn_fuse_qkv concatenates the q/k/v projections into one [D, 3D]
+    matmul — bit-exact (each output column's contraction is unchanged),
+    both int8 and bf16."""
+    px = _pixels(cfg, n=4, seed=29)
+    base = _enc_cfg(
+        cfg, mlp_kernel="fused", attn_kernel="fused_layer", gelu_mode="sigmoid"
+    )
+    fused_cfg = dataclasses.replace(base, attn_fuse_qkv=True)
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    ref = np.asarray(vit.encode(qenc, px, base))
+    got = np.asarray(vit.encode(qenc, px, fused_cfg))
+    np.testing.assert_array_equal(got, ref)
+    bf = dataclasses.replace(base, gelu_mode="erf")
+    ref_bf = np.asarray(vit.encode(params["encoder"], px, bf))
+    got_bf = np.asarray(
+        vit.encode(
+            params["encoder"], px, dataclasses.replace(bf, attn_fuse_qkv=True)
+        )
+    )
+    np.testing.assert_array_equal(got_bf, ref_bf)
+
+
 def test_mlp_subtiles_encode_exact(cfg, params):
     """mlp_subtiles splits the int8 MLP tile into independent row-chunk
     chains (scheduling only — every op is row-local, so the math is
