@@ -71,6 +71,11 @@ class EncoderConfig:
     # Measured WORSE in-context (37.8 -> 38.4/40.2 ms scan12 at 2/4): the
     # split costs MXU-sized matmul efficiency more than the overlap buys.
     mlp_subtiles: int = 1
+    # fused-MLP token-tile rows per grid program.  512 won the round-2
+    # sweep at the unaligned 197-token shape; combined with mlp_subtiles
+    # it sets the software-pipeline granularity (tile_m=1024 + subtiles=2
+    # = two interleaved 512-row chains with full-size matmuls).
+    mlp_tile_m: int = 512
     # fused_layer attention: run q/k/v as ONE concatenated [D, 3D] matmul
     # (the quantized activation read once, one MXU op instead of three).
     # Bit-exact — each output column's contraction is unchanged.

@@ -68,6 +68,7 @@ def _mlp(x: jax.Array, lp: dict, cfg: EncoderConfig) -> jax.Array:
             gelu_mode=cfg.gelu_mode,
             parallel_grid=cfg.parallel_grid,
             subtiles=cfg.mlp_subtiles,
+            tile_m=cfg.mlp_tile_m,
         )
     h = layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.layer_norm_eps)
     h = dense_any(h, lp["mlp"]["fc1"])
