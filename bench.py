@@ -80,6 +80,8 @@ def bench_full_path(engine, batch: int, iters: int = 6) -> tuple[float, dict]:
     ]
     _ = engine.ocr_page(crops)  # compile + warm
     pages = [crops] * iters
+    _ = engine.ocr_pages(pages[:3])  # warm the streamed loop itself: its
+    # first pass measured ~3x slow (residual caching/dispatch effects)
     t0 = time.perf_counter()
     texts = engine.ocr_pages(pages)
     dt = time.perf_counter() - t0

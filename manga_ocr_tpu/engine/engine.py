@@ -278,7 +278,7 @@ class TpuMangaOcrEngine:
         self,
         pages: Sequence[Sequence[np.ndarray]],
         orientation: int = pp.ORIENT_VERTICAL,
-        lookahead: int = 1,
+        lookahead: int = 2,
     ) -> list[list[str]]:
         """Streaming multi-page OCR: dispatch up to ``lookahead`` pages
         before collecting the first, so page N+1's host prep and host→device
@@ -288,9 +288,11 @@ class TpuMangaOcrEngine:
         draining a job queue (``main_window.py:4317-4327``), with the
         parallelism in the pipeline instead of in 15 Python threads.
 
-        ``lookahead=1`` measured best on the tunnel runtime (287 ms/page
-        sync → 202 streamed at B=256; deeper lookahead adds queueing with no
-        extra overlap to win — docs/PERF.md round 3)."""
+        ``lookahead=2`` measured best on the tunnel runtime at the
+        round-3-final serving config (steady-state A/B, 256-crop pages:
+        sync 936 crops/s → lookahead 1: 976 → lookahead 2: **1200**;
+        docs/PERF.md).  Two pages in flight cover the readback RTT that a
+        single-page lookahead leaves exposed."""
         from collections import deque
 
         pending: deque = deque()
@@ -344,7 +346,9 @@ class TpuMangaOcrEngine:
         stage = _stage_fn(timer)
         results_per_batch = []
         for b, out in outs:
-            with stage("dispatch"):
+            # labeled distinctly from _dispatch_page's async "dispatch"
+            # stage: this is where the host blocks on device completion
+            with stage("readback"):
                 tokens = np.asarray(out.tokens[: b.valid])
                 lengths = np.asarray(out.lengths[: b.valid])
             with stage("detok"):
