@@ -216,7 +216,14 @@ class TpuMangaOcrEngine:
                     sizes=sizes,
                     image_size=cfg.encoder.image_size,
                 ).astype(dtype)
-                return mdl.ocr_forward(params, pixels, cfg, max_length=max_len)
+                out = mdl.ocr_forward(params, pixels, cfg, max_length=max_len)
+                # pack lengths as column 0 of the token matrix: ONE device
+                # array out means ONE host readback RPC per page instead of
+                # two — each readback costs a full round-trip on a
+                # tunneled/remote runtime (docs/PERF.md)
+                return jnp.concatenate(
+                    [out.lengths[:, None], out.tokens], axis=1
+                )
 
             if self.mesh is not None and self._serving_kernels:
                 # Pallas custom calls have no SPMD partitioning rules, so a
@@ -292,17 +299,33 @@ class TpuMangaOcrEngine:
         round-3-final serving config (steady-state A/B, 256-crop pages:
         sync 936 crops/s → lookahead 1: 976 → lookahead 2: **1200**;
         docs/PERF.md).  Two pages in flight cover the readback RTT that a
-        single-page lookahead leaves exposed."""
-        from collections import deque
+        single-page lookahead leaves exposed.
 
-        pending: deque = deque()
+        Dispatch runs on ONE background thread (order-preserving) while this
+        thread collects: page N+1's host prep and host→device transfer
+        overlap page N's completion wait and detokenization — numpy and the
+        JAX runtime release the GIL during copies/transfers, so the overlap
+        is real.  A single-threaded fallback (``lookahead=0``) keeps
+        everything on the calling thread."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
         results: list[list[str]] = []
-        for page in pages:
-            pending.append(self._dispatch_page(page, orientation, None))
-            if len(pending) > lookahead:
-                results.append(self._collect_page(pending.popleft(), None))
-        while pending:
-            results.append(self._collect_page(pending.popleft(), None))
+        if lookahead <= 0:
+            for page in pages:
+                results.append(self._collect_page(
+                    self._dispatch_page(page, orientation, None), None))
+            return results
+        pending: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            for page in pages:
+                pending.append(
+                    ex.submit(self._dispatch_page, page, orientation, None)
+                )
+                if len(pending) > lookahead:
+                    results.append(self._collect_page(pending.popleft().result(), None))
+            while pending:
+                results.append(self._collect_page(pending.popleft().result(), None))
         return results
 
     def _dispatch_page(self, crops, orientation, timer):
@@ -336,7 +359,13 @@ class TpuMangaOcrEngine:
                 if timer is not None:
                     jax.block_until_ready(device_arr)
             with stage("dispatch"):
-                outs.append((b, fn(self.params, device_arr, device_sizes)))
+                packed = fn(self.params, device_arr, device_sizes)
+                # start the device→host copy NOW (async): the transfer then
+                # begins the moment compute finishes, so by the time the
+                # streaming collector blocks on this page the bytes are
+                # already in flight (or landed)
+                packed.copy_to_host_async()
+                outs.append((b, packed))
         return outs
 
     def _collect_page(self, outs, timer) -> list[str]:
@@ -347,10 +376,15 @@ class TpuMangaOcrEngine:
         results_per_batch = []
         for b, out in outs:
             # labeled distinctly from _dispatch_page's async "dispatch"
-            # stage: this is where the host blocks on device completion
+            # stage: this is where the host blocks on device completion.
+            # Fetch the FULL packed array and slice on the host: a device-
+            # side ``tokens[:valid]`` would be its own jitted dispatch — one
+            # extra tunnel round-trip (~25 ms) per page — while the padded
+            # rows are a few KB of extra readback bytes.
             with stage("readback"):
-                tokens = np.asarray(out.tokens[: b.valid])
-                lengths = np.asarray(out.lengths[: b.valid])
+                packed = np.asarray(out)[: b.valid]
+                lengths = packed[:, 0]
+                tokens = packed[:, 1:]
             with stage("detok"):
                 results_per_batch.append(
                     self.tokenizer.decode_batch(tokens, lengths)
@@ -493,7 +527,7 @@ class TpuMangaOcrEngine:
             else:
                 args = (jnp.asarray(dummy), jnp.asarray(sizes))
             out = fn(self.params, *args)
-            np.asarray(out.lengths)  # host readback forces completion
+            np.asarray(out)  # host readback forces completion
             self._warmed.add((hw, n))
 
 
