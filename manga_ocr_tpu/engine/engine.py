@@ -335,11 +335,9 @@ class TpuMangaOcrEngine:
             return []
         stage = _stage_fn(timer)
         with stage("host_prep"):
-            oriented = [
-                batching.orient_crop(np.asarray(c, np.uint8), orientation)
-                for c in crops
-            ]
-            batches = batching.bucket_crops(oriented, gray=True)
+            # fused native orient+gray+pad (single pass, C++) with a NumPy
+            # fallback — identical output either way (test_batching parity)
+            batches = batching.prep_page_gray(crops, orientation)
         outs = []
         for b in batches:
             fn = self._bucket_fn(b.bucket_hw)

@@ -73,6 +73,17 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.prep_gray_batch.restype = None
+        lib.prep_gray_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -128,3 +139,38 @@ def dilate_box(mask: np.ndarray, radius: int) -> np.ndarray | None:
     out = np.empty_like(mask)
     lib.dilate_box(_u8ptr(mask), _u8ptr(out), mask.shape[0], mask.shape[1], radius)
     return out
+
+
+def prep_gray_batch(
+    crops: list[np.ndarray],
+    rots: np.ndarray,
+    dst: np.ndarray,
+) -> bool:
+    """Fused orient + gray + edge-replicate pad of ``crops`` into the
+    [n, bh, bw] uint8 batch ``dst`` (first ``len(crops)`` rows).
+
+    ``rots``: int32 per-crop rotation code (0 none, 1 = 90° CW, 2 = 90° CCW)
+    — the reference's orientation rule, resolved by the caller on real crop
+    dims.  Crops must be contiguous uint8 [h, w, 3] (BGR) or [h, w]; the
+    rotated crop must fit (bh, bw).  Returns False when the native library
+    is unavailable (caller falls back to the NumPy path)."""
+    lib = load()
+    if lib is None:
+        return False
+    n = len(crops)
+    assert dst.flags["C_CONTIGUOUS"] and dst.dtype == np.uint8 and dst.ndim == 3
+    assert n <= dst.shape[0]
+    dims = np.empty((n, 2), np.int32)
+    chs = np.empty((n,), np.int32)
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    for i, c in enumerate(crops):
+        assert c.flags["C_CONTIGUOUS"] and c.dtype == np.uint8
+        dims[i] = c.shape[:2]
+        chs[i] = 1 if c.ndim == 2 else c.shape[2]
+        ptrs[i] = _u8ptr(c)
+    rots = np.ascontiguousarray(rots, np.int32)
+    lib.prep_gray_batch(
+        ptrs, _i32ptr(dims), _i32ptr(chs), _i32ptr(rots), n,
+        _u8ptr(dst), dst.shape[1], dst.shape[2],
+    )
+    return True

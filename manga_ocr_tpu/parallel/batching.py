@@ -219,3 +219,75 @@ def scatter_results(
         for row, idx in enumerate(batch.indices):
             out[idx] = results[row]
     return out
+
+
+def prep_page_gray(
+    crops: Sequence[np.ndarray],
+    orientation: int,
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+) -> list[BucketedBatch]:
+    """Host prep for the gray-wire serving path: orient + bucket + gray +
+    edge-replicate pad, in ONE native C++ pass per bucket.
+
+    Identical output to ``orient_crop`` + ``bucket_crops(gray=True)`` (the
+    NumPy path, which stays as the fallback): same bit-exact cv2 gray math,
+    same rotation rule, same padding.  The NumPy path costs three full
+    passes with int32 temporaries (~55 ms for a 256-crop page on the serving
+    host's single core — measured, docs/PERF.md); the fused pass reads each
+    source pixel once and writes each batch byte once.  The rotation is
+    applied to the source *read pattern*, so the ``np.rot90`` copy never
+    materializes either."""
+    from manga_ocr_tpu import native
+
+    def _fallback():
+        oriented = [
+            orient_crop(np.asarray(c, np.uint8), orientation) for c in crops
+        ]
+        return bucket_crops(oriented, buckets, gray=True)
+
+    if native.load() is None:
+        return _fallback()
+    prepped: list[tuple[np.ndarray, int, int, int]] = []
+    for c in crops:
+        c = np.ascontiguousarray(np.asarray(c, np.uint8))
+        if c.ndim == 3 and c.shape[2] not in (1, 3):
+            return _fallback()  # exotic channel layout: NumPy path decides
+        if c.ndim == 3 and c.shape[2] == 1:
+            c = c[..., 0]
+        h, w = c.shape[:2]
+        rot = 0
+        if orientation == 1 and w > h:  # ORIENT_VERTICAL -> 90° CW
+            rot = 1
+        elif orientation == 2 and h > w:  # ORIENT_HORIZONTAL -> 90° CCW
+            rot = 2
+        eh, ew = (w, h) if rot else (h, w)
+        if not any(eh <= bh and ew <= bw for bh, bw in buckets):
+            # oversized: rotate + downscale host-side (rare), then rot=0
+            c = orient_crop(c, orientation)
+            best = max(buckets, key=lambda b: min(b[0] / eh, b[1] / ew))
+            c = np.ascontiguousarray(fit_within(c, *best))
+            rot = 0
+            eh, ew = c.shape[:2]
+        prepped.append((c, rot, eh, ew))
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (_, _, eh, ew) in enumerate(prepped):
+        groups.setdefault(pick_bucket(eh, ew, buckets), []).append(i)
+
+    out = []
+    for hw, idxs in sorted(groups.items(), key=lambda kv: kv[0][0] * kv[0][1]):
+        bh, bw = hw
+        n = len(idxs)
+        bn = pad_batch_size(n)
+        arr = np.empty((bn, bh, bw), np.uint8)
+        sizes = np.empty((bn, 2), np.int32)
+        rots = np.fromiter((prepped[i][1] for i in idxs), np.int32, count=n)
+        for row, i in enumerate(idxs):
+            sizes[row] = (prepped[i][2], prepped[i][3])
+        if not native.prep_gray_batch([prepped[i][0] for i in idxs], rots, arr):
+            return _fallback()  # library vanished mid-flight: stay correct
+        if bn > n:
+            arr[n:] = arr[n - 1]
+            sizes[n:] = sizes[n - 1]
+        out.append(BucketedBatch(hw, arr, idxs, n, sizes))
+    return out

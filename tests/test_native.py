@@ -65,3 +65,65 @@ def test_fill_clamps_out_of_bounds(lib):
     poly = np.array([[-5, -5], [30, -5], [30, 30], [-5, 30]], np.int32)
     assert native.fill_polygon(m, poly)
     assert m.all()  # whole mask filled, no crash
+
+
+class TestPrepPageGray:
+    """prep_page_gray (fused native orient+gray+pad) must be byte-identical
+    to the NumPy path it replaces (orient_crop + bucket_crops(gray=True))."""
+
+    @staticmethod
+    def _python_path(crops, orientation):
+        from manga_ocr_tpu.parallel import batching
+
+        oriented = [
+            batching.orient_crop(np.asarray(c, np.uint8), orientation)
+            for c in crops
+        ]
+        return batching.bucket_crops(oriented, gray=True)
+
+    def _assert_match(self, crops, orientation, lib):
+        from manga_ocr_tpu.parallel import batching
+
+        got = batching.prep_page_gray(crops, orientation)
+        want = self._python_path(crops, orientation)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g.bucket_hw == w.bucket_hw
+            assert g.indices == w.indices
+            assert g.valid == w.valid
+            np.testing.assert_array_equal(g.sizes, w.sizes)
+            np.testing.assert_array_equal(g.crops, w.crops)
+
+    @pytest.mark.parametrize("orientation", [0, 1, 2, 3])
+    def test_parity_mixed_shapes(self, lib, orientation):
+        rng = np.random.default_rng(7)
+        crops = [
+            rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            for h, w in [(96, 120), (120, 96), (40, 300), (300, 40), (128, 128)]
+        ]
+        self._assert_match(crops, orientation, lib)
+
+    def test_parity_gray_2d_input(self, lib):
+        # 2D input goes through the native copy path (NumPy path requires
+        # 3-channel, so compare against the explicit stacked-channel crop)
+        from manga_ocr_tpu.parallel import batching
+
+        rng = np.random.default_rng(8)
+        g2d = rng.integers(0, 256, size=(70, 90)).astype(np.uint8)
+        got = batching.prep_page_gray([g2d], orientation=1)
+        want = self._python_path([np.repeat(g2d[..., None], 3, axis=2)], 1)
+        np.testing.assert_array_equal(got[0].crops, want[0].crops)
+
+    def test_parity_oversized_crop(self, lib):
+        rng = np.random.default_rng(9)
+        big = rng.integers(0, 256, size=(1500, 700, 3)).astype(np.uint8)
+        self._assert_match([big], 1, lib)
+
+    def test_parity_batch_padding_rows(self, lib):
+        # 3 crops in one bucket -> padded to batch 8; padding rows replicate
+        rng = np.random.default_rng(10)
+        crops = [
+            rng.integers(0, 256, size=(100, 100, 3)).astype(np.uint8)
+            for _ in range(3)
+        ]
+        self._assert_match(crops, 0, lib)
