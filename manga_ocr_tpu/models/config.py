@@ -83,6 +83,13 @@ class EncoderConfig:
     # fused_layer attention batch-block rows per grid program.  Swept
     # in-context on v5e (docs/PERF.md): 4 beats 2/8/16; 32 is VMEM-infeasible.
     attn_group: int = 4
+    # fused_layer attention: run the SDPA matmuls (QK^T, PV) on the int8 MXU
+    # path with dynamic per-row (q/k/probs) / per-column (v) quantization.
+    # The dh=64 contraction half-fills the MXU K depth in any dtype; int8's
+    # double-pumped rate is the only lever past that shape loss.  Adds
+    # ~1/127-step quantization noise to logits/probabilities (int8 parity
+    # tests cover it).
+    attn_sdpa_int8: bool = False
 
     @property
     def num_patches(self) -> int:

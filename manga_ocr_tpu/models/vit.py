@@ -101,6 +101,7 @@ def encoder_block(
             parallel_grid=cfg.parallel_grid,
             batched_sdpa=cfg.batched_sdpa,
             fuse_qkv=cfg.attn_fuse_qkv,
+            sdpa_int8=cfg.attn_sdpa_int8,
             group=cfg.attn_group,
             # x may be seq-padded past seq_len (cfg.seq_pad_to): mask the
             # padded key columns out of the softmax

@@ -249,6 +249,7 @@ def _attn_core(
     int8: bool,
     batched_sdpa: bool = False,
     fuse_qkv: bool = False,
+    sdpa_int8: bool = False,
 ):
     """x + Attention(LN(x)) on an in-VMEM [g, sp, d] value; shared by the
     attention-only and the merged attention+MLP layer kernels.
@@ -256,7 +257,15 @@ def _attn_core(
     ``fuse_qkv``: wq/sq/bq hold the CONCATENATED [d, 3d]/[3d] q‖k‖v
     projection (wk/wv/sk/sv/bk/bv unused) — one MXU matmul instead of
     three, the quantized activation read once.  Bit-exact: each output
-    column's contraction is unchanged."""
+    column's contraction is unchanged.
+
+    ``sdpa_int8``: run the two SDPA matmuls (QK^T and PV) on the int8 MXU
+    path with dynamic quantization — per-row per-head for q/k/probs, per
+    output column for v.  The dh=64 contraction uses half the MXU's K depth
+    in any dtype (the encoder's known shape loss, docs/PERF.md); int8's
+    double-pumped rate is the only lever past it.  Adds ~1/127-step noise
+    to logits and probabilities — covered by the int8 serving parity
+    tests."""
     g, sp, d = x.shape
     h32 = _ln32(x, lns_ref[:], lnb_ref[:], eps).reshape(g * sp, d)
 
@@ -337,33 +346,63 @@ def _attn_core(
             ctx_heads = [_ctx(h, _softmax(_logits(h))) for h in range(heads)]
         ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(g * sp, d)
     else:
+        if sdpa_int8:
+            # v quantized once per batch row, per OUTPUT column (weight-style:
+            # the PV contraction runs over keys, so column scales factor out)
+            v32 = v.astype(jnp.float32)
+            v_amax = jnp.maximum(
+                jnp.max(jnp.abs(v32), axis=1, keepdims=True), 1e-8
+            )  # [g, 1, d]
+            v_scl = v_amax * (1.0 / 127.0)
+            v_q = jnp.round(v32 * (127.0 / v_amax)).astype(jnp.int8)
         ctx_rows = []
         for b in range(g):
             outs = []
             for h in range(heads):
                 sl = slice(h * dh, (h + 1) * dh)
-                logits = (
-                    jax.lax.dot_general(
-                        q[b, :, sl],
-                        k[b, :, sl],
+                if sdpa_int8:
+                    qq, sqr = _quant_rows(q[b, :, sl].astype(jnp.float32))
+                    kq, skr = _quant_rows(k[b, :, sl].astype(jnp.float32))
+                    acc = jax.lax.dot_general(
+                        qq,
+                        kq,
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.int32,
                     )
-                    * scale
-                )
+                    logits = acc.astype(jnp.float32) * (sqr * scale) * skr.reshape(1, -1)
+                else:
+                    logits = (
+                        jax.lax.dot_general(
+                            q[b, :, sl],
+                            k[b, :, sl],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        * scale
+                    )
                 if masked:
                     logits = jnp.where(keep, logits, NEG_INF)
                 m = jnp.max(logits, axis=-1, keepdims=True)
                 p = jnp.exp(logits - m)
                 p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
-                outs.append(
-                    jax.lax.dot_general(
-                        p.astype(x.dtype),
-                        v[b, :, sl],
+                if sdpa_int8:
+                    pq, spr = _quant_rows(p)
+                    acc = jax.lax.dot_general(
+                        pq,
+                        v_q[b, :, sl],
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=jnp.int32,
                     )
-                )
+                    outs.append(acc.astype(jnp.float32) * spr * v_scl[b, :, sl])
+                else:
+                    outs.append(
+                        jax.lax.dot_general(
+                            p.astype(x.dtype),
+                            v[b, :, sl],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
             ctx_rows.append(jnp.concatenate(outs, axis=-1))
         ctx = jnp.stack(ctx_rows).reshape(g * sp, d)
 
@@ -390,6 +429,7 @@ def _attn_layer_kernel(
     int8: bool,
     batched_sdpa: bool = False,
     fuse_qkv: bool = False,
+    sdpa_int8: bool = False,
 ):
     if fuse_qkv:
         (x_ref, wqkv_ref, wo_ref, sqkv_ref, so_ref, bqkv_ref, bo_ref,
@@ -410,7 +450,7 @@ def _attn_layer_kernel(
         bq_ref, bk_ref, bv_ref, bo_ref,
         lns_ref, lnb_ref,
         eps=eps, valid_len=valid_len, heads=heads, dh=dh, int8=int8,
-        batched_sdpa=batched_sdpa, fuse_qkv=fuse_qkv,
+        batched_sdpa=batched_sdpa, fuse_qkv=fuse_qkv, sdpa_int8=sdpa_int8,
     )
 
 
@@ -418,7 +458,7 @@ def _attn_layer_kernel(
     jax.jit,
     static_argnames=(
         "num_heads", "eps", "interpret", "group", "batched_sdpa", "parallel_grid",
-        "valid_len", "fuse_qkv",
+        "valid_len", "fuse_qkv", "sdpa_int8",
     ),
 )
 def fused_attn_layer(
@@ -434,6 +474,7 @@ def fused_attn_layer(
     parallel_grid: bool = False,  # mark the batch-block grid dim "parallel"
     valid_len: int | None = None,  # true token count when x is seq-padded
     fuse_qkv: bool = False,  # one [d, 3d] q‖k‖v matmul (bit-exact)
+    sdpa_int8: bool = False,  # QK^T / PV on the int8 MXU path
 ) -> jax.Array:
     """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
     all; projection matmuls on the int8 MXU path when params are quantized
@@ -484,6 +525,7 @@ def fused_attn_layer(
         int8=int8,
         batched_sdpa=batched_sdpa,
         fuse_qkv=fuse_qkv,
+        sdpa_int8=sdpa_int8,
     )
     out = pl.pallas_call(
         kernel,

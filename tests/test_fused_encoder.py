@@ -346,3 +346,40 @@ def test_mlp_subtiles_encode_exact(cfg, params):
     for st in (2, 4):
         got = vit.encode(qenc, px, dataclasses.replace(base, mlp_subtiles=st))
         np.testing.assert_array_equal(np.asarray(got), ref, err_msg=f"subtiles={st}")
+
+
+def test_sdpa_int8_encode_close(cfg, params):
+    """attn_sdpa_int8 (QK^T/PV on the int8 MXU path) stays within the int8
+    noise bound of the f32 XLA encode on the tiny model."""
+    px = _pixels(cfg, n=3, seed=23)
+    ref = vit.encode(params["encoder"], px, cfg.encoder)
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    ecfg = _enc_cfg(
+        cfg, mlp_kernel="fused", attn_kernel="fused_layer", attn_sdpa_int8=True
+    )
+    got = vit.encode(qenc, px, ecfg)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.12, err.max()  # int8 weights + int8 SDPA noise
+
+
+def test_sdpa_int8_greedy_tokens_match(cfg, params):
+    """Greedy-token parity of the int8 serving path with attn_sdpa_int8 on."""
+    px = _pixels(cfg, n=4, seed=29)
+    ref = mdl.ocr_forward(params, px, cfg, max_length=12)
+    scfg = dataclasses.replace(
+        cfg,
+        encoder=_enc_cfg(
+            cfg,
+            mlp_kernel="fused",
+            attn_kernel="fused_layer",
+            gelu_mode="sigmoid",
+            attn_sdpa_int8=True,
+        ),
+        decoder=dataclasses.replace(cfg.decoder, cross_kv_int8=True),
+    )
+    qparams = {
+        "encoder": quantize_encoder(params["encoder"], quantize_attn_proj=True),
+        "decoder": params["decoder"],
+    }
+    got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
