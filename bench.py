@@ -35,13 +35,20 @@ BATCH_SIZES = (256, 384)
 NORTH_STAR = 5000.0
 
 
-def bench_batch(fn, params, batch: int, iters: int = 6) -> float:
+def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
     """Steady-state pipelined throughput.
 
     Inputs are generated on-device (serving transfers uint8 pages once; the
     model path is what's measured).  NOTE: ``block_until_ready`` does not
     reliably block through the axon tunnel — only a host readback does — so
     completion is forced by fetching ``lengths`` ([B] ints) per call.
+
+    ``iters=16``: at pipeline depth 6 the drain edge (the gap between the
+    last issue and the first readback) is still ~7% of the window —
+    measured 3817 → 4094 crops/s going 6 → 16 at B=256
+    (scripts/perf_dispatch_amortize.py).  Depth 16 amortizes it to <2%;
+    per-call host issue cost is ~1 ms (measured) so deeper pipelines are
+    purely more steady-state.
     """
     import numpy as np
 
