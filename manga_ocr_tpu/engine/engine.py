@@ -72,6 +72,7 @@ class TpuMangaOcrEngine:
         mesh=None,
         serving_kernels: bool | None = None,
         quantize_int8: bool | None = None,
+        wire: str = "gray",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — every crop batch is
         sharded over the data axis (ICI batch parallelism, SURVEY §5.8);
@@ -90,7 +91,15 @@ class TpuMangaOcrEngine:
         ``quantize_int8``: int8-quantize the encoder (W8A8, per-token/
         per-channel — greedy-token parity covered by
         tests/test_fused_encoder.py); defaults to follow
-        ``serving_kernels``."""
+        ``serving_kernels``.
+
+        ``wire``: host→device crop format.  "gray" (default): padded
+        [B, bh, bw] single-channel batches.  "packed": crops' gray bytes
+        tightly concatenated — no padding bytes cross the link — and the
+        padded batch is reconstructed on-device with a clamped gather
+        (byte-identical; ``ops.preprocess.unpack_packed_page``).  ~25-35%
+        fewer wire bytes on typical pages; single-device only (offsets are
+        global, a batch-sharded mesh would need per-shard buffers)."""
         import dataclasses as _dc
 
         if mesh is not None:
@@ -192,6 +201,14 @@ class TpuMangaOcrEngine:
         else:
             self._batch_sharding = None
             self._batch_multiple = 1
+        if wire not in ("gray", "packed"):
+            raise ValueError(f"wire must be 'gray' or 'packed', got {wire!r}")
+        if wire == "packed" and mesh is not None:
+            raise ValueError(
+                "wire='packed' is single-device only (global offsets); "
+                "use the default gray wire under a mesh"
+            )
+        self._wire = wire
         self._fns: dict = {}
         self._lock = threading.Lock()
         self._warmed: set = set()  # (bucket_hw, padded_batch) pairs compiled
@@ -335,12 +352,32 @@ class TpuMangaOcrEngine:
             return []
         stage = _stage_fn(timer)
         with stage("host_prep"):
-            # fused native orient+gray+pad (single pass, C++) with a NumPy
-            # fallback — identical output either way (test_batching parity)
-            batches = batching.prep_page_gray(crops, orientation)
+            # fused native orient+gray(+pad) in one C++ pass, with a NumPy
+            # fallback — identical output either way (test_native parity)
+            if self._wire == "packed":
+                batches = batching.prep_page_packed(crops, orientation)
+            else:
+                batches = batching.prep_page_gray(crops, orientation)
         outs = []
         for b in batches:
             fn = self._bucket_fn(b.bucket_hw)
+            if isinstance(b, batching.PackedBatch):
+                with stage("h2d"):
+                    flat = jnp.asarray(b.flat)
+                    device_sizes = jnp.asarray(b.sizes)
+                    device_offs = jnp.asarray(b.offsets)
+                    if timer is not None:
+                        jax.block_until_ready(flat)
+                self._note_dispatch_shape(b.bucket_hw, b.sizes.shape[0])
+                with stage("dispatch"):
+                    device_arr = pp.unpack_packed_page(
+                        flat, device_sizes, device_offs,
+                        bh=b.bucket_hw[0], bw=b.bucket_hw[1],
+                    )
+                    packed = fn(self.params, device_arr, device_sizes)
+                    packed.copy_to_host_async()
+                    outs.append((b, packed))
+                continue
             arr, sizes = b.crops, b.sizes
             if arr.shape[0] % self._batch_multiple:
                 pad = self._batch_multiple - arr.shape[0] % self._batch_multiple
@@ -492,7 +529,12 @@ class TpuMangaOcrEngine:
         Default: a representative subset (common buckets, smallest batch).
         ``full=True`` warms the entire reachable set (``warm_set()``) — the
         production warm pass (see ``scripts/warm_cache.py``); with the
-        persistent XLA cache enabled it is one-time per model revision."""
+        persistent XLA cache enabled it is one-time per model revision.
+
+        The packed wire's device-unpack programs (one per occupied
+        cap-sixteenth) are NOT enumerated here: each is a trivial gather
+        that compiles in seconds, below the stall threshold the warm
+        discipline exists for (the model programs take minutes)."""
         if full:
             pairs = self.warm_set(bucket_hws, batch_sizes)
         else:

@@ -84,6 +84,17 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.prep_gray_packed.restype = None
+        lib.prep_gray_packed.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -172,5 +183,45 @@ def prep_gray_batch(
     lib.prep_gray_batch(
         ptrs, _i32ptr(dims), _i32ptr(chs), _i32ptr(rots), n,
         _u8ptr(dst), dst.shape[1], dst.shape[2],
+    )
+    return True
+
+
+def prep_gray_packed(
+    crops: list[np.ndarray],
+    rots: np.ndarray,
+    row_offsets: np.ndarray,
+    dst: np.ndarray,
+) -> bool:
+    """Fused orient + gray of ``crops`` into the ROW-PACKED wire buffer
+    ``dst`` [H_total, bw]: each crop occupies its rotated height of rows
+    starting at ``row_offsets[i]``, width edge-padded to bw — heights are
+    tight, so height padding never crosses the host→device link and the
+    device reconstructs the padded batch with a per-ROW clamped gather
+    (0.04 ms vs 34 ms element-granular; scripts/perf_unpack_variants).
+    Returns False when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return False
+    n = len(crops)
+    assert dst.flags["C_CONTIGUOUS"] and dst.dtype == np.uint8 and dst.ndim == 2
+    bw = dst.shape[1]
+    dims = np.empty((n, 2), np.int32)
+    chs = np.empty((n,), np.int32)
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    for i, c in enumerate(crops):
+        assert c.flags["C_CONTIGUOUS"] and c.dtype == np.uint8
+        dims[i] = c.shape[:2]
+        chs[i] = 1 if c.ndim == 2 else c.shape[2]
+        ptrs[i] = _u8ptr(c)
+    rots = np.ascontiguousarray(rots, np.int32)
+    byte_offsets = np.ascontiguousarray(row_offsets, np.int64) * bw
+    if n:
+        last_h = int(dims[-1, 1] if rots[-1] else dims[-1, 0])
+        assert int(row_offsets[-1]) + last_h <= dst.shape[0]
+    lib.prep_gray_packed(
+        ptrs, _i32ptr(dims), _i32ptr(chs), _i32ptr(rots),
+        byte_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        _u8ptr(dst), bw,
     )
     return True

@@ -98,3 +98,23 @@ def ocr_preprocess(
     blurred = im.gaussian_blur3_u8(eq, sizes)
     binary = im.otsu_binarize(blurred, mask)
     return im.gray_to_bgr(binary), angles
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw"))
+def unpack_packed_page(
+    flat: jax.Array, sizes: jax.Array, offsets: jax.Array, bh: int, bw: int
+) -> jax.Array:
+    """Reconstruct the padded gray batch from the ROW-PACKED wire format
+    (``parallel.batching.prep_page_packed``): ``flat`` [H_cap, bw] uint8
+    holds each crop's width-padded rows height-tight at row ``offsets``
+    [B]; height edge-replication is row-index CLAMPING in the gather, so
+    the result is byte-identical to the host-padded batch without height
+    padding crossing the link.  Row granularity is the fast formulation
+    on TPU: 0.04 ms vs 34 ms for an element-granular gather at
+    [256, 128, 128] (scripts/perf_unpack_variants.py).  Jitted per
+    (H_cap, B, bucket) — trivial, compiles in seconds."""
+    b = sizes.shape[0]
+    h = sizes[:, 0][:, None]
+    i = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (b, bh), 1), h - 1)
+    ridx = offsets[:, None] + i
+    return jnp.take(flat, ridx.reshape(-1), axis=0).reshape(b, bh, bw)

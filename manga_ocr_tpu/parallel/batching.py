@@ -221,6 +221,45 @@ def scatter_results(
     return out
 
 
+def _native_prep_groups(
+    crops: Sequence[np.ndarray],
+    orientation: int,
+    buckets: Sequence[tuple[int, int]],
+):
+    """Shared host-prep front half for the native wire formats: coerce each
+    crop, resolve the reference's per-crop rotation rule, downscale
+    oversized crops, and group by bucket.  Returns ``(prepped, groups)``
+    where ``prepped[i] = (contiguous crop, rot code, eff_h, eff_w)``, or
+    None when a crop needs the NumPy fallback (exotic channel layout)."""
+    prepped: list[tuple[np.ndarray, int, int, int]] = []
+    for c in crops:
+        c = np.ascontiguousarray(np.asarray(c, np.uint8))
+        if c.ndim == 3 and c.shape[2] not in (1, 3):
+            return None
+        if c.ndim == 3 and c.shape[2] == 1:
+            c = c[..., 0]
+        h, w = c.shape[:2]
+        rot = 0
+        if orientation == 1 and w > h:  # ORIENT_VERTICAL -> 90° CW
+            rot = 1
+        elif orientation == 2 and h > w:  # ORIENT_HORIZONTAL -> 90° CCW
+            rot = 2
+        eh, ew = (w, h) if rot else (h, w)
+        if not any(eh <= bh and ew <= bw for bh, bw in buckets):
+            # oversized: rotate + downscale host-side (rare), then rot=0
+            c = orient_crop(c, orientation)
+            best = max(buckets, key=lambda b: min(b[0] / eh, b[1] / ew))
+            c = np.ascontiguousarray(fit_within(c, *best))
+            rot = 0
+            eh, ew = c.shape[:2]
+        prepped.append((c, rot, eh, ew))
+
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (_, _, eh, ew) in enumerate(prepped):
+        groups.setdefault(pick_bucket(eh, ew, buckets), []).append(i)
+    return prepped, groups
+
+
 def prep_page_gray(
     crops: Sequence[np.ndarray],
     orientation: int,
@@ -247,32 +286,10 @@ def prep_page_gray(
 
     if native.load() is None:
         return _fallback()
-    prepped: list[tuple[np.ndarray, int, int, int]] = []
-    for c in crops:
-        c = np.ascontiguousarray(np.asarray(c, np.uint8))
-        if c.ndim == 3 and c.shape[2] not in (1, 3):
-            return _fallback()  # exotic channel layout: NumPy path decides
-        if c.ndim == 3 and c.shape[2] == 1:
-            c = c[..., 0]
-        h, w = c.shape[:2]
-        rot = 0
-        if orientation == 1 and w > h:  # ORIENT_VERTICAL -> 90° CW
-            rot = 1
-        elif orientation == 2 and h > w:  # ORIENT_HORIZONTAL -> 90° CCW
-            rot = 2
-        eh, ew = (w, h) if rot else (h, w)
-        if not any(eh <= bh and ew <= bw for bh, bw in buckets):
-            # oversized: rotate + downscale host-side (rare), then rot=0
-            c = orient_crop(c, orientation)
-            best = max(buckets, key=lambda b: min(b[0] / eh, b[1] / ew))
-            c = np.ascontiguousarray(fit_within(c, *best))
-            rot = 0
-            eh, ew = c.shape[:2]
-        prepped.append((c, rot, eh, ew))
-
-    groups: dict[tuple[int, int], list[int]] = {}
-    for i, (_, _, eh, ew) in enumerate(prepped):
-        groups.setdefault(pick_bucket(eh, ew, buckets), []).append(i)
+    grouped = _native_prep_groups(crops, orientation, buckets)
+    if grouped is None:
+        return _fallback()  # exotic channel layout: NumPy path decides
+    prepped, groups = grouped
 
     out = []
     for hw, idxs in sorted(groups.items(), key=lambda kv: kv[0][0] * kv[0][1]):
@@ -290,4 +307,87 @@ def prep_page_gray(
             arr[n:] = arr[n - 1]
             sizes[n:] = sizes[n - 1]
         out.append(BucketedBatch(hw, arr, idxs, n, sizes))
+    return out
+
+
+# Packed wire: flat buffer row capacities are quantized to 64ths of
+# the padded-batch row count, so the per-(bucket, batch) set of compiled
+# device-unpack programs stays small (each is a trivial row gather,
+# seconds to compile) while height-padding rows never cross the
+# host->device link.
+CAP_QUANTA = 64
+
+
+@dataclasses.dataclass
+class PackedBatch:
+    """One bucket's crops in the ROW-PACKED wire format: heights tight,
+    widths edge-padded to the bucket width host-side.  The device
+    reconstructs the padded [B, bh, bw] batch with a per-ROW clamped
+    gather — row granularity keeps the gather lane-aligned (0.04 ms vs
+    34 ms element-granular; scripts/perf_unpack_variants.py), and height
+    padding (the edge-replicated rows) never crosses the link.
+    Batch-padding rows alias the last real crop's rows via offsets — they
+    cost nothing on the wire either."""
+
+    bucket_hw: tuple[int, int]
+    flat: np.ndarray  # [H_cap, bw] uint8: tight crop rows + tail padding
+    offsets: np.ndarray  # [B_padded] int32 ROW offsets into flat
+    indices: list[int]  # original crop index per valid row
+    valid: int
+    sizes: np.ndarray  # [B_padded, 2] int32 valid (h, w) per row
+
+
+def prep_page_packed(
+    crops: Sequence[np.ndarray],
+    orientation: int,
+    buckets: Sequence[tuple[int, int]] = DEFAULT_BUCKETS,
+) -> list:
+    """Host prep for the row-PACKED wire format (see ``PackedBatch``):
+    orient + bucket + gray + width-pad into a height-tight buffer per
+    bucket (native C++ pass).  Ships ~10-15% fewer bytes than the gray
+    wire on typical bubble-crop pages — on the tunneled runtime the
+    host->device link is the full-serving-path bottleneck (docs/PERF.md);
+    on directly-attached hardware it is simply less DMA.
+
+    Returns ``PackedBatch`` items; falls back to ``prep_page_gray``'s
+    output (``BucketedBatch``) when the native library is unavailable —
+    callers dispatch on the type."""
+    from manga_ocr_tpu import native
+
+    if native.load() is None:
+        return prep_page_gray(crops, orientation, buckets)
+    grouped = _native_prep_groups(crops, orientation, buckets)
+    if grouped is None:
+        return prep_page_gray(crops, orientation, buckets)
+    prepped, groups = grouped
+
+    out = []
+    for hw, idxs in sorted(groups.items(), key=lambda kv: kv[0][0] * kv[0][1]):
+        bh, bw = hw
+        n = len(idxs)
+        bn = pad_batch_size(n)
+        sizes = np.empty((bn, 2), np.int32)
+        offsets = np.empty((bn,), np.int64)
+        rots = np.fromiter((prepped[i][1] for i in idxs), np.int32, count=n)
+        total_rows = 0
+        for row, i in enumerate(idxs):
+            eh, ew = prepped[i][2], prepped[i][3]
+            sizes[row] = (eh, ew)
+            offsets[row] = total_rows
+            total_rows += eh
+        if bn > n:
+            sizes[n:] = sizes[n - 1]
+            offsets[n:] = offsets[n - 1]  # alias the last crop's rows
+        # quantized row capacity: sixteenths of the padded batch row count
+        full = bn * bh
+        step = -(-full // CAP_QUANTA)
+        h_cap = min(full, -(-total_rows // step) * step)
+        flat = np.zeros((h_cap, bw), np.uint8)
+        if not native.prep_gray_packed(
+            [prepped[i][0] for i in idxs], rots, offsets[:n], flat
+        ):
+            return prep_page_gray(crops, orientation, buckets)
+        out.append(
+            PackedBatch(hw, flat, offsets.astype(np.int32), idxs, n, sizes)
+        )
     return out

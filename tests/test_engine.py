@@ -216,3 +216,49 @@ def test_ocr_pages_matches_per_page_calls(engine):
     streamed = engine.ocr_pages(pages, lookahead=2)
     sequential = [engine.ocr_page(p) for p in pages]
     assert streamed == sequential
+
+
+def test_packed_wire_unpack_identical():
+    """Device-side unpack of the packed wire == the padded gray batch,
+    byte-for-byte (edge replication == index clamping)."""
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.ops import preprocess as pp
+
+    crops = [_crop(60, 100, 31), _crop(100, 60, 32), _crop(90, 90, 33)]
+    packed = batching.prep_page_packed(crops, orientation=1)
+    padded = batching.prep_page_gray(crops, orientation=1)
+    assert len(packed) == len(padded)
+    for pb, gb in zip(packed, padded):
+        if not isinstance(pb, batching.PackedBatch):
+            pytest.skip("native library unavailable")
+        # the packed wire ships fewer bytes than the padded batch
+        assert pb.flat.size < gb.crops.size
+        got = np.asarray(
+            pp.unpack_packed_page(
+                jnp.asarray(pb.flat),
+                jnp.asarray(pb.sizes),
+                jnp.asarray(pb.offsets),
+                bh=pb.bucket_hw[0],
+                bw=pb.bucket_hw[1],
+            )
+        )
+        np.testing.assert_array_equal(got, gb.crops)
+        np.testing.assert_array_equal(pb.sizes, gb.sizes)
+        assert pb.indices == gb.indices and pb.valid == gb.valid
+
+
+def test_packed_wire_engine_matches_gray():
+    """ocr_page over the packed wire returns identical texts."""
+    import jax.numpy as jnp
+
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))
+    tok = CharTokenizer.synthetic()
+    g = TpuMangaOcrEngine(params, cfg, tok, max_length=8, dtype=jnp.float32)
+    p = TpuMangaOcrEngine(
+        params, cfg, tok, max_length=8, dtype=jnp.float32, wire="packed"
+    )
+    crops = [_crop(40, 60, 41), _crop(64, 48, 42), _crop(30, 30, 43),
+             _crop(1400, 700, 44)]
+    assert p.ocr_page(crops) == g.ocr_page(crops)
