@@ -105,26 +105,52 @@ def init_train_state(
 # ---------------------------------------------------------------------------
 
 
-def render_text_crop(
-    text: str, rng, image_size: int, font=None
-) -> "np.ndarray":
-    """Render a bubble-like training crop: white ellipse on tone, dark text
-    (PIL default font; the synthetic-data path for smoke training — real
-    fine-tuning feeds ``directory_dataset``)."""
-    import numpy as np
-    from PIL import Image, ImageDraw
+def pattern_glyph(ch: str, size: int = 12) -> "np.ndarray":
+    """A deterministic, per-character-DISTINCT glyph: a 4x4 binary pattern
+    hashed from the codepoint, scaled to ``size`` (uint8, 0=ink/255=paper).
 
-    s = image_size
-    img = Image.new("RGB", (s, s), (int(rng.integers(140, 220)),) * 3)
-    d = ImageDraw.Draw(img)
-    d.ellipse([2, 2, s - 3, s - 3], fill=(255, 255, 255), outline=(0, 0, 0))
-    y = s // 5
+    Why not a font: PIL's default bitmap font renders every non-latin
+    character as the SAME tofu box (measured: pixel diff 0 between あ and
+    い), which silently turns synthetic OCR training into marginal-
+    distribution fitting — the image carries no label information.  Pattern
+    glyphs make the synthetic task a real read-the-image task."""
+    import numpy as np
+
+    bits = (ord(ch) * 2654435761) & 0xFFFF
+    g = np.array([(bits >> i) & 1 for i in range(16)], np.uint8).reshape(4, 4)
+    g[0, 0] = 1  # anchor cell: no glyph is empty
+    cell = max(1, size // 4)
+    return 255 - np.kron(g, np.ones((cell, cell), np.uint8)) * 255
+
+
+def render_text_crop(
+    text: str, rng, image_size: int, font=None, hw: tuple[int, int] | None = None
+) -> "np.ndarray":
+    """Render a bubble-like training crop: white ellipse on page tone, text
+    drawn VERTICALLY as distinct pattern glyphs (see ``pattern_glyph``) —
+    the synthetic-data path for smoke training and the closed-loop accuracy
+    test; real fine-tuning feeds ``directory_dataset``.
+
+    ``hw``: optional (height, width) for non-square crops (exercises the
+    engine's bucketing + valid-region resize)."""
+    import numpy as np
+
+    h, w = hw if hw is not None else (image_size, image_size)
+    img = np.full((h, w), int(rng.integers(140, 220)), np.uint8)
+    # white bubble interior with a 2px border of page tone
+    img[2 : h - 2, 2 : w - 2] = 255
+    gs = max(4, min(12, (h - 8) // max(len(text), 1) - 2, w - 8))
+    y = 4
     for ch in text:
-        d.text((s // 2 - 3, y), ch, fill=(0, 0, 0), font=font)
-        y += max(8, s // max(len(text), 1) // 2)
-        if y > s - s // 5:
+        gl = pattern_glyph(ch, gs)
+        if y + gl.shape[0] > h - 2:
             break
-    return np.asarray(img)
+        x = max(2, (w - gl.shape[1]) // 2)
+        img[y : y + gl.shape[0], x : x + gl.shape[1]] = gl[
+            :, : max(0, w - 2 - x)
+        ]
+        y += gl.shape[0] + 2
+    return np.repeat(img[..., None], 3, axis=2)
 
 
 def synthetic_dataset(
