@@ -362,16 +362,16 @@ class TpuMangaOcrEngine:
         for b in batches:
             fn = self._bucket_fn(b.bucket_hw)
             if isinstance(b, batching.PackedBatch):
+                meta = np.concatenate([b.sizes, b.offsets[:, None]], axis=1)
                 with stage("h2d"):
                     flat = jnp.asarray(b.flat)
-                    device_sizes = jnp.asarray(b.sizes)
-                    device_offs = jnp.asarray(b.offsets)
+                    device_meta = jnp.asarray(meta)  # ONE metadata transfer
                     if timer is not None:
                         jax.block_until_ready(flat)
                 self._note_dispatch_shape(b.bucket_hw, b.sizes.shape[0])
                 with stage("dispatch"):
-                    device_arr = pp.unpack_packed_page(
-                        flat, device_sizes, device_offs,
+                    device_arr, device_sizes = pp.unpack_packed_page(
+                        flat, device_meta,
                         bh=b.bucket_hw[0], bw=b.bucket_hw[1],
                     )
                     packed = fn(self.params, device_arr, device_sizes)

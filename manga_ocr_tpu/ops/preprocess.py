@@ -102,19 +102,23 @@ def ocr_preprocess(
 
 @functools.partial(jax.jit, static_argnames=("bh", "bw"))
 def unpack_packed_page(
-    flat: jax.Array, sizes: jax.Array, offsets: jax.Array, bh: int, bw: int
-) -> jax.Array:
+    flat: jax.Array, meta: jax.Array, bh: int, bw: int
+) -> tuple[jax.Array, jax.Array]:
     """Reconstruct the padded gray batch from the ROW-PACKED wire format
     (``parallel.batching.prep_page_packed``): ``flat`` [H_cap, bw] uint8
-    holds each crop's width-padded rows height-tight at row ``offsets``
-    [B]; height edge-replication is row-index CLAMPING in the gather, so
-    the result is byte-identical to the host-padded batch without height
-    padding crossing the link.  Row granularity is the fast formulation
-    on TPU: 0.04 ms vs 34 ms for an element-granular gather at
-    [256, 128, 128] (scripts/perf_unpack_variants.py).  Jitted per
-    (H_cap, B, bucket) — trivial, compiles in seconds."""
-    b = sizes.shape[0]
-    h = sizes[:, 0][:, None]
+    holds each crop's width-padded rows height-tight; ``meta`` [B, 3]
+    int32 carries (h, w, row_offset) per crop — ONE array so the wire
+    costs one transfer RPC, not two.  Height edge-replication is
+    row-index CLAMPING in the gather, so the result is byte-identical to
+    the host-padded batch without height padding crossing the link.  Row
+    granularity is the fast formulation on TPU: 0.04 ms vs 34 ms for an
+    element-granular gather at [256, 128, 128]
+    (scripts/perf_unpack_variants.py).  Returns (batch [B, bh, bw] uint8,
+    sizes [B, 2]) — both device-resident for the bucket program.  Jitted
+    per (H_cap, B, bucket) — trivial, compiles in seconds."""
+    b = meta.shape[0]
+    h = meta[:, 0][:, None]
     i = jnp.minimum(jax.lax.broadcasted_iota(jnp.int32, (b, bh), 1), h - 1)
-    ridx = offsets[:, None] + i
-    return jnp.take(flat, ridx.reshape(-1), axis=0).reshape(b, bh, bw)
+    ridx = meta[:, 2][:, None] + i
+    batch = jnp.take(flat, ridx.reshape(-1), axis=0).reshape(b, bh, bw)
+    return batch, meta[:, :2]

@@ -56,8 +56,7 @@ def main() -> None:
     # --- unpack-only device cost (slope over repeated gathers) ----------
     [pb] = batching.prep_page_packed(crops, 1)
     flat = jnp.asarray(pb.flat)
-    sizes = jnp.asarray(pb.sizes)
-    offs = jnp.asarray(pb.offsets)
+    meta = jnp.asarray(np.concatenate([pb.sizes, pb.offsets[:, None]], axis=1))
     bh, bw = pb.bucket_hw
     say(f"wire bytes: packed {pb.flat.size/1e6:.2f} MB vs gray "
         f"{pb.sizes.shape[0]*bh*bw/1e6:.2f} MB")
@@ -67,10 +66,10 @@ def main() -> None:
         # flat — a loop-invariant body would be hoisted by XLA and measure
         # one gather instead of n (docs/PERF.md measurement hazard)
         @jax.jit
-        def f(flat, sizes, offs):
+        def f(flat, meta):
             def step(c, _):
-                f2 = flat.at[0].set(c.astype(jnp.uint8))
-                u = pp.unpack_packed_page(f2, sizes, offs, bh=bh, bw=bw)
+                f2 = flat.at[0, 0].set(c.astype(jnp.uint8))
+                u, _sz = pp.unpack_packed_page(f2, meta, bh=bh, bw=bw)
                 return (c + jnp.sum(u[:1, :8].astype(jnp.int32))) & 0xFF, None
 
             c, _ = jax.lax.scan(step, jnp.int32(0), None, length=n)
@@ -81,10 +80,10 @@ def main() -> None:
     t = {}
     for n in (2, 10):
         fn = make_unpack_n(n)
-        _ = int(fn(flat, sizes, offs))
+        _ = int(fn(flat, meta))
         t0 = time.perf_counter()
         for _ in range(4):
-            _ = int(fn(flat, sizes, offs))
+            _ = int(fn(flat, meta))
         t[n] = (time.perf_counter() - t0) / 4
     say(f"unpack device cost: {(t[10]-t[2])/8*1e3:.3f} ms per [{B},{bh},{bw}] gather")
 

@@ -234,16 +234,15 @@ def test_packed_wire_unpack_identical():
             pytest.skip("native library unavailable")
         # the packed wire ships fewer bytes than the padded batch
         assert pb.flat.size < gb.crops.size
-        got = np.asarray(
-            pp.unpack_packed_page(
-                jnp.asarray(pb.flat),
-                jnp.asarray(pb.sizes),
-                jnp.asarray(pb.offsets),
-                bh=pb.bucket_hw[0],
-                bw=pb.bucket_hw[1],
-            )
+        meta = np.concatenate([pb.sizes, pb.offsets[:, None]], axis=1)
+        got, got_sizes = pp.unpack_packed_page(
+            jnp.asarray(pb.flat),
+            jnp.asarray(meta),
+            bh=pb.bucket_hw[0],
+            bw=pb.bucket_hw[1],
         )
-        np.testing.assert_array_equal(got, gb.crops)
+        np.testing.assert_array_equal(np.asarray(got), gb.crops)
+        np.testing.assert_array_equal(np.asarray(got_sizes), gb.sizes)
         np.testing.assert_array_equal(pb.sizes, gb.sizes)
         assert pb.indices == gb.indices and pb.valid == gb.valid
 
