@@ -57,9 +57,10 @@ def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
     )(jax.random.PRNGKey(1))
     _ = np.asarray(fn(params, px).lengths)  # compile + warm
     best_dt = float("inf")
-    # two timing rounds, best sustained rate: the tunnel adds occasional
-    # multi-ms stalls that a single round folds into the mean
-    for _ in range(2):
+    # three timing rounds, best sustained rate: the tunnel adds occasional
+    # multi-ms stalls (and run-scale bandwidth swings, docs/PERF.md) that a
+    # single round folds into the mean
+    for _ in range(3):
         t0 = time.perf_counter()
         outs = [fn(params, px) for _ in range(iters)]
         for o in outs:
@@ -94,7 +95,7 @@ def bench_full_path(engine, batch: int, iters: int = 6) -> tuple[float, dict]:
     _ = engine.ocr_pages(pages[:3])  # warm the streamed loop itself: its
     # first pass measured ~3x slow (residual caching/dispatch effects)
     best_dt, n = float("inf"), 0
-    for _ in range(2):  # best of two rounds (tunnel stall tolerance)
+    for _ in range(3):  # best of three rounds (tunnel stall tolerance)
         t0 = time.perf_counter()
         texts = engine.ocr_pages(pages)
         best_dt = min(best_dt, time.perf_counter() - t0)

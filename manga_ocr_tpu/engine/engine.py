@@ -94,12 +94,13 @@ class TpuMangaOcrEngine:
         ``serving_kernels``.
 
         ``wire``: host→device crop format.  "gray" (default): padded
-        [B, bh, bw] single-channel batches.  "packed": crops' gray bytes
-        tightly concatenated — no padding bytes cross the link — and the
-        padded batch is reconstructed on-device with a clamped gather
-        (byte-identical; ``ops.preprocess.unpack_packed_page``).  ~25-35%
-        fewer wire bytes on typical pages; single-device only (offsets are
-        global, a batch-sharded mesh would need per-shard buffers)."""
+        [B, bh, bw] single-channel batches.  "packed": crop rows shipped
+        height-tight (width padded host-side) — height padding never
+        crosses the link — and the padded batch is reconstructed on-device
+        with a clamped row gather (byte-identical;
+        ``ops.preprocess.unpack_packed_page``).  ~10-15% fewer wire bytes
+        on typical pages; single-device only (offsets are global, a
+        batch-sharded mesh would need per-shard buffers)."""
         import dataclasses as _dc
 
         if mesh is not None:
@@ -531,10 +532,11 @@ class TpuMangaOcrEngine:
         production warm pass (see ``scripts/warm_cache.py``); with the
         persistent XLA cache enabled it is one-time per model revision.
 
-        The packed wire's device-unpack programs (one per occupied
-        cap-sixteenth) are NOT enumerated here: each is a trivial gather
-        that compiles in seconds, below the stall threshold the warm
-        discipline exists for (the model programs take minutes)."""
+        The packed wire's device-unpack programs (one per occupied row-cap
+        quantum — ``batching.CAP_QUANTA`` per (bucket, batch) worst case)
+        are NOT enumerated here: each is a trivial gather that compiles in
+        seconds, below the stall threshold the warm discipline exists for
+        (the model programs take minutes)."""
         if full:
             pairs = self.warm_set(bucket_hws, batch_sizes)
         else:

@@ -39,6 +39,10 @@ void prep_gray_row(const uint8_t* src, int32_t h, int32_t w, int32_t ch,
                    int32_t rot, uint8_t* dst, int32_t bh, int32_t bw) {
   const int32_t oh = rot ? w : h;
   const int32_t ow = rot ? h : w;
+  if (oh <= 0 || ow <= 0) {  // degenerate crop: blank row, no OOB reads
+    std::memset(dst, 0, static_cast<int64_t>(bh) * bw);
+    return;
+  }
   for (int32_t i = 0; i < oh; ++i) {
     uint8_t* drow = dst + static_cast<int64_t>(i) * bw;
     if (rot == 0) {

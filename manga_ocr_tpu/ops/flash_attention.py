@@ -348,8 +348,14 @@ def _attn_core(
     else:
         if sdpa_int8:
             # v quantized once per batch row, per OUTPUT column (weight-style:
-            # the PV contraction runs over keys, so column scales factor out)
+            # the PV contraction runs over keys, so column scales factor out).
+            # Scales run over VALID rows only: seq-pad garbage rows carry
+            # arbitrary magnitudes that would coarsen every real value's step
+            # (their probs are already softmax-zeroed, so zeroing here is free).
             v32 = v.astype(jnp.float32)
+            if masked:
+                row = jax.lax.broadcasted_iota(jnp.int32, v32.shape, 1)
+                v32 = jnp.where(row < valid_len, v32, 0.0)
             v_amax = jnp.maximum(
                 jnp.max(jnp.abs(v32), axis=1, keepdims=True), 1e-8
             )  # [g, 1, d]
@@ -486,6 +492,11 @@ def fused_attn_layer(
     on every projection matmul, plus two [B,S,D] pad/slice HBM round-trips
     per layer."""
     interpret = interpret or jax.default_backend() == "cpu"
+    if sdpa_int8 and batched_sdpa:
+        raise ValueError(
+            "sdpa_int8 is implemented for the per-(batch, head) SDPA loop "
+            "only; disable batched_sdpa (it would silently run bf16 SDPA)"
+        )
     b, s, d = x.shape
     dh = d // num_heads
     sp = s

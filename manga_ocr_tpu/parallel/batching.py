@@ -278,17 +278,11 @@ def prep_page_gray(
     materializes either."""
     from manga_ocr_tpu import native
 
-    def _fallback():
-        oriented = [
-            orient_crop(np.asarray(c, np.uint8), orientation) for c in crops
-        ]
-        return bucket_crops(oriented, buckets, gray=True)
-
     if native.load() is None:
-        return _fallback()
+        return _prep_page_gray_numpy(crops, orientation, buckets)
     grouped = _native_prep_groups(crops, orientation, buckets)
     if grouped is None:
-        return _fallback()  # exotic channel layout: NumPy path decides
+        return _prep_page_gray_numpy(crops, orientation, buckets)
     prepped, groups = grouped
 
     out = []
@@ -302,12 +296,35 @@ def prep_page_gray(
         for row, i in enumerate(idxs):
             sizes[row] = (prepped[i][2], prepped[i][3])
         if not native.prep_gray_batch([prepped[i][0] for i in idxs], rots, arr):
-            return _fallback()  # library vanished mid-flight: stay correct
+            # library vanished mid-flight: stay correct
+            return _prep_page_gray_numpy(crops, orientation, buckets)
         if bn > n:
             arr[n:] = arr[n - 1]
             sizes[n:] = sizes[n - 1]
         out.append(BucketedBatch(hw, arr, idxs, n, sizes))
     return out
+
+
+def _prep_page_gray_numpy(
+    crops: Sequence[np.ndarray],
+    orientation: int,
+    buckets: Sequence[tuple[int, int]],
+) -> list[BucketedBatch]:
+    """The NumPy fallback for ``prep_page_gray``/``prep_page_packed``.
+
+    Accepts the same input surface as the native path — in particular 2D
+    and [h, w, 1] grayscale crops, which ``bucket_crops`` (3-channel
+    assignment) would reject — so behavior does not depend on whether the
+    native library built."""
+    expanded = []
+    for c in crops:
+        c = np.asarray(c, np.uint8)
+        if c.ndim == 2:
+            c = np.repeat(c[..., None], 3, axis=2)
+        elif c.ndim == 3 and c.shape[2] == 1:
+            c = np.repeat(c, 3, axis=2)
+        expanded.append(orient_crop(c, orientation))
+    return bucket_crops(expanded, buckets, gray=True)
 
 
 # Packed wire: flat buffer row capacities are quantized to 64ths of
@@ -327,7 +344,15 @@ class PackedBatch:
     34 ms element-granular; scripts/perf_unpack_variants.py), and height
     padding (the edge-replicated rows) never crosses the link.
     Batch-padding rows alias the last real crop's rows via offsets — they
-    cost nothing on the wire either."""
+    cost nothing on the wire either.
+
+    Parity: the reconstructed batch is BYTE-identical to the gray wire's
+    (verified on CPU and the real chip).  Decoded tokens are exact on CPU;
+    on TPU the bucket program compiled for device-resident inputs is a
+    separate executable instance whose f32 reduction order may differ by
+    ulps — with random weights a near-tie argmax can flip (the established
+    scheduling-ulp class, docs/PERF.md fuse_cross_kv note); real-checkpoint
+    margins sit far outside it."""
 
     bucket_hw: tuple[int, int]
     flat: np.ndarray  # [H_cap, bw] uint8: tight crop rows + tail padding
@@ -378,11 +403,15 @@ def prep_page_packed(
         if bn > n:
             sizes[n:] = sizes[n - 1]
             offsets[n:] = offsets[n - 1]  # alias the last crop's rows
-        # quantized row capacity: sixteenths of the padded batch row count
+        # quantized row capacity: CAP_QUANTA-ths of the padded batch rows
         full = bn * bh
         step = -(-full // CAP_QUANTA)
         h_cap = min(full, -(-total_rows // step) * step)
-        flat = np.zeros((h_cap, bw), np.uint8)
+        # rows [0, total_rows) are fully written by the native pass; only
+        # the quantization tail needs deterministic bytes (no full memset
+        # on the single-core host's critical path)
+        flat = np.empty((h_cap, bw), np.uint8)
+        flat[total_rows:] = 0
         if not native.prep_gray_packed(
             [prepped[i][0] for i in idxs], rots, offsets[:n], flat
         ):

@@ -146,9 +146,8 @@ def render_text_crop(
         if y + gl.shape[0] > h - 2:
             break
         x = max(2, (w - gl.shape[1]) // 2)
-        img[y : y + gl.shape[0], x : x + gl.shape[1]] = gl[
-            :, : max(0, w - 2 - x)
-        ]
+        gw = min(gl.shape[1], max(0, w - 2 - x))  # clip BOTH sides alike
+        img[y : y + gl.shape[0], x : x + gw] = gl[:, :gw]
         y += gl.shape[0] + 2
     return np.repeat(img[..., None], 3, axis=2)
 

@@ -383,3 +383,44 @@ def test_sdpa_int8_greedy_tokens_match(cfg, params):
     }
     got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
     np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+
+
+def test_sdpa_int8_seq_pad_greedy_tokens_match(cfg, params):
+    """attn_sdpa_int8 combined with seq_pad_to: the v quantization scales
+    must run over VALID rows only (seq-pad garbage rows would coarsen
+    every real value's int8 step)."""
+    px = _pixels(cfg, n=4, seed=31)
+    ref = mdl.ocr_forward(params, px, cfg, max_length=12)
+    scfg = dataclasses.replace(
+        cfg,
+        encoder=_enc_cfg(
+            cfg,
+            mlp_kernel="fused",
+            attn_kernel="fused_layer",
+            gelu_mode="sigmoid",
+            attn_sdpa_int8=True,
+            seq_pad_to=8,
+        ),
+        decoder=dataclasses.replace(cfg.decoder, cross_kv_int8=True),
+    )
+    qparams = {
+        "encoder": quantize_encoder(params["encoder"], quantize_attn_proj=True),
+        "decoder": params["decoder"],
+    }
+    got = mdl.ocr_forward(qparams, px, scfg, max_length=12)
+    np.testing.assert_array_equal(np.asarray(got.tokens), np.asarray(ref.tokens))
+
+
+def test_sdpa_int8_rejects_batched_sdpa(cfg, params):
+    """sdpa_int8 under batched_sdpa must raise, not silently run bf16."""
+    from manga_ocr_tpu.ops.flash_attention import fused_attn_layer
+
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    lp = jax.tree.map(lambda a: a[0], qenc["layers"])
+    d = cfg.encoder.hidden_size
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, d), jnp.float32)
+    with pytest.raises(ValueError, match="batched_sdpa"):
+        fused_attn_layer(
+            x, lp["attn"], lp["ln1"]["scale"], lp["ln1"]["bias"],
+            cfg.encoder.num_heads, batched_sdpa="phased", sdpa_int8=True,
+        )

@@ -127,3 +127,39 @@ class TestPrepPageGray:
             for _ in range(3)
         ]
         self._assert_match(crops, 0, lib)
+
+
+def test_prep_fallback_handles_gray_inputs(monkeypatch):
+    """The NumPy fallback must accept the same input surface as the native
+    path (2D / [h,w,1] crops) — behavior must not depend on whether the
+    native library built."""
+    from manga_ocr_tpu.parallel import batching
+
+    rng = np.random.default_rng(3)
+    crops = [
+        rng.integers(0, 256, size=(70, 90)).astype(np.uint8),
+        rng.integers(0, 256, size=(60, 50, 1)).astype(np.uint8),
+        rng.integers(0, 256, size=(50, 60, 3)).astype(np.uint8),
+    ]
+    want = batching.prep_page_gray(crops, 1)
+    monkeypatch.setattr(native, "load", lambda: None)
+    got = batching.prep_page_gray(crops, 1)
+    got_packed = batching.prep_page_packed(crops, 1)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.crops, w.crops)
+        np.testing.assert_array_equal(g.sizes, w.sizes)
+    for g, w in zip(got_packed, want):  # packed falls back to gray batches
+        np.testing.assert_array_equal(g.crops, w.crops)
+
+
+def test_prep_degenerate_crops_no_crash(lib):
+    from manga_ocr_tpu.parallel import batching
+
+    crops = [
+        np.zeros((0, 50, 3), np.uint8),
+        np.zeros((50, 0, 3), np.uint8),
+        np.full((40, 40, 3), 77, np.uint8),
+    ]
+    for fn in (batching.prep_page_gray, batching.prep_page_packed):
+        out = fn(crops, 1)
+        assert sum(b.valid for b in out) == 3
