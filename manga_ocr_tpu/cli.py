@@ -52,7 +52,8 @@ def _build_engine(args):
         params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         tok = CharTokenizer.synthetic()
     return TpuMangaOcrEngine(
-        params, cfg, tok, max_length=args.max_length, dtype=jnp.bfloat16
+        params, cfg, tok, max_length=args.max_length, dtype=jnp.bfloat16,
+        wire=getattr(args, "wire", "gray"),
     )
 
 
@@ -198,6 +199,14 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="manga-ocr-tpu")
     p.add_argument("--checkpoint", default="", help="HF checkpoint dir for the OCR model")
     p.add_argument("--max-length", type=int, default=300)
+    p.add_argument(
+        "--wire",
+        default="gray",
+        choices=("gray", "packed"),
+        help="host->device crop format: padded gray batches (default) or "
+        "height-tight row-packed buffers (~10-15%% fewer DMA bytes, "
+        "single-device)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     p_ocr = sub.add_parser("ocr", help="OCR one or more crop images")
