@@ -145,6 +145,10 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--max-length", type=int, default=300)
+    p.add_argument(
+        "--wire", default="gray", choices=("gray", "packed"),
+        help="host->device crop format (see cli.py --wire)",
+    )
     p.add_argument("--window-ms", type=float, default=10.0)
     args = p.parse_args(argv)
 
