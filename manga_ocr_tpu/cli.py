@@ -54,6 +54,7 @@ def _build_engine(args):
     return TpuMangaOcrEngine(
         params, cfg, tok, max_length=args.max_length, dtype=jnp.bfloat16,
         wire=getattr(args, "wire", "gray"),
+        coalesce=not getattr(args, "no_coalesce", False),
     )
 
 
@@ -206,6 +207,12 @@ def main(argv=None) -> int:
         help="host->device crop format: padded gray batches (default) or "
         "height-tight row-packed buffers (~10-15%% fewer DMA bytes, "
         "single-device)",
+    )
+    p.add_argument(
+        "--no-coalesce",
+        action="store_true",
+        help="disable single-transfer/single-readback coalescing of "
+        "multi-bucket pages (debugging/measurement aid)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -50,6 +50,17 @@ def _err(msg: str) -> str:
     return f"[ERROR: {msg}]"
 
 
+# Device-side concat of per-bucket packed token matrices ([n_i, 1+L] int32,
+# same width for every bucket) so a multi-bucket page costs ONE host
+# readback instead of one per bucket.  Each readback blocks on a full
+# device→host round-trip on remote/tunneled runtimes (~25 ms), which
+# measured as a ~2x streamed-rate drop on two-bucket pages (docs/PERF.md
+# round-3 full-path recheck); the concat itself is a trivial int32 copy.
+# jax.jit keys on the argument shapes, so each distinct per-page bucket
+# split compiles its own (seconds-cheap) gather program.
+_concat_rows = jax.jit(lambda *arrs: jnp.concatenate(arrs, axis=0))
+
+
 class TpuMangaOcrEngine:
     """Batched manga-ocr engine on TPU.
 
@@ -73,6 +84,7 @@ class TpuMangaOcrEngine:
         serving_kernels: bool | None = None,
         quantize_int8: bool | None = None,
         wire: str = "gray",
+        coalesce: bool = True,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — every crop batch is
         sharded over the data axis (ICI batch parallelism, SURVEY §5.8);
@@ -100,7 +112,23 @@ class TpuMangaOcrEngine:
         with a clamped row gather (byte-identical;
         ``ops.preprocess.unpack_packed_page``).  ~10-15% fewer wire bytes
         on typical pages; single-device only (offsets are global, a
-        batch-sharded mesh would need per-shard buffers)."""
+        batch-sharded mesh would need per-shard buffers).
+
+        ``coalesce``: collapse a multi-bucket page's host↔device traffic to
+        single-bucket-page RPC counts (docs/PERF.md measured the streamed
+        rate DROPPING ~2x when the crop mix spans two buckets — each extra
+        transfer/readback is a full round-trip on remote runtimes):
+
+        - wire side (single device, gray wire): every bucket's crop bytes
+          and int32 extents ship as ONE concatenated uint8 buffer — one
+          h2d RPC per page instead of two per bucket — and a per-split
+          jitted unpack (static slices + a [n, 2, 4]→int32 bitcast, no
+          gathers, seconds to compile) restores the per-bucket arrays
+          on device.
+        - readback side (any config): the per-bucket token matrices are
+          concatenated ON DEVICE and read back once.
+
+        Single-bucket pages (the common case) take neither path."""
         import dataclasses as _dc
 
         if mesh is not None:
@@ -210,7 +238,10 @@ class TpuMangaOcrEngine:
                 "use the default gray wire under a mesh"
             )
         self._wire = wire
+        self._coalesce = coalesce  # readback half (device-side concat)
+        self._fuse_wire = coalesce  # wire half (single h2d buffer)
         self._fns: dict = {}
+        self._unpack_fns: dict = {}  # split signature -> jitted wire unpack
         self._lock = threading.Lock()
         self._warmed: set = set()  # (bucket_hw, padded_batch) pairs compiled
 
@@ -271,6 +302,59 @@ class TpuMangaOcrEngine:
             with self._lock:
                 fn = self._fns.setdefault(key, run)
         return fn
+
+    def _wire_unpack_fn(self, split_key):
+        """Jitted unpack of the fused page wire: one flat uint8 buffer →
+        per-bucket ([n, bh, bw] uint8 crops, [n, 2] int32 extents).
+
+        ``split_key``: tuple of ((bh, bw), n) per bucket — the program is
+        static slices + reshapes + one [n, 2, 4] uint8 → int32 bitcast per
+        bucket (XLA bitcast packs minor-dim bytes little-endian, matching
+        the host's ``.view(np.uint8)`` serialization — parity covered by
+        tests), so each split signature compiles in seconds."""
+        fn = self._unpack_fns.get(split_key)
+        if fn is None:
+
+            def unpack(wire):
+                outs, off = [], 0
+                for (bh, bw), n in split_key:
+                    crops = wire[off : off + n * bh * bw].reshape(n, bh, bw)
+                    off += n * bh * bw
+                    sizes = jax.lax.bitcast_convert_type(
+                        wire[off : off + n * 8].reshape(n, 2, 4), jnp.int32
+                    )
+                    off += n * 8
+                    outs.append((crops, sizes))
+                return tuple(outs)
+
+            with self._lock:
+                fn = self._unpack_fns.setdefault(split_key, jax.jit(unpack))
+        return fn
+
+    def _dispatch_fused_wire(self, batches, timer):
+        """Multi-bucket page over ONE h2d transfer (the wire half of
+        ``coalesce``): concatenated crop bytes + int32 extents per bucket,
+        unpacked device-side by the per-split jitted program."""
+        stage = _stage_fn(timer)
+        split_key = tuple((b.bucket_hw, b.crops.shape[0]) for b in batches)
+        parts = []
+        for b in batches:
+            parts.append(b.crops.reshape(-1))
+            parts.append(
+                np.ascontiguousarray(b.sizes, np.int32).view(np.uint8).reshape(-1)
+            )
+        with stage("h2d"):
+            dwire = jnp.asarray(np.concatenate(parts))
+            if timer is not None:
+                jax.block_until_ready(dwire)
+        outs = []
+        with stage("dispatch"):
+            unpacked = self._wire_unpack_fn(split_key)(dwire)
+            for b, (device_arr, device_sizes) in zip(batches, unpacked):
+                fn = self._bucket_fn(b.bucket_hw)
+                self._note_dispatch_shape(b.bucket_hw, b.crops.shape[0])
+                outs.append((b, fn(self.params, device_arr, device_sizes)))
+        return outs
 
     # -- batched entry points ------------------------------------------------
 
@@ -348,9 +432,11 @@ class TpuMangaOcrEngine:
 
     def _dispatch_page(self, crops, orientation, timer):
         """host prep + h2d + device dispatch for one page; returns
-        (batch, device-future output) pairs with NO host readback."""
+        ``((batch, device-future output) pairs, fused-or-None)`` with NO
+        host readback.  ``fused`` is the device-side concat of every
+        bucket's output when coalescing applies (multi-bucket page)."""
         if not len(crops):
-            return []
+            return [], None
         stage = _stage_fn(timer)
         with stage("host_prep"):
             # fused native orient+gray(+pad) in one C++ pass, with a NumPy
@@ -359,6 +445,15 @@ class TpuMangaOcrEngine:
                 batches = batching.prep_page_packed(crops, orientation)
             else:
                 batches = batching.prep_page_gray(crops, orientation)
+        if (
+            self._fuse_wire
+            and len(batches) > 1
+            and self.mesh is None
+            and not any(isinstance(b, batching.PackedBatch) for b in batches)
+        ):
+            return self._finish_dispatch(
+                self._dispatch_fused_wire(batches, timer), stage
+            )
         outs = []
         for b in batches:
             fn = self._bucket_fn(b.bucket_hw)
@@ -376,7 +471,6 @@ class TpuMangaOcrEngine:
                         bh=b.bucket_hw[0], bw=b.bucket_hw[1],
                     )
                     packed = fn(self.params, device_arr, device_sizes)
-                    packed.copy_to_host_async()
                     outs.append((b, packed))
                 continue
             arr, sizes = b.crops, b.sizes
@@ -396,34 +490,58 @@ class TpuMangaOcrEngine:
                     jax.block_until_ready(device_arr)
             with stage("dispatch"):
                 packed = fn(self.params, device_arr, device_sizes)
-                # start the device→host copy NOW (async): the transfer then
-                # begins the moment compute finishes, so by the time the
-                # streaming collector blocks on this page the bytes are
-                # already in flight (or landed)
-                packed.copy_to_host_async()
                 outs.append((b, packed))
-        return outs
+        return self._finish_dispatch(outs, stage)
 
-    def _collect_page(self, outs, timer) -> list[str]:
+    def _finish_dispatch(self, outs, stage):
+        """Shared dispatch tail: fuse the per-bucket outputs for a single
+        readback (the readback half of ``coalesce``), or start the
+        per-bucket device→host copies."""
+        fused = None
+        with stage("dispatch"):
+            if len(outs) > 1 and self._coalesce:
+                # one device-side concat -> ONE readback RPC for the page
+                fused = _concat_rows(*[o for _, o in outs])
+                fused.copy_to_host_async()
+            else:
+                # start the device→host copies NOW (async): each transfer
+                # then begins the moment its compute finishes, so by the
+                # time the streaming collector blocks on this page the
+                # bytes are already in flight (or landed)
+                for _, o in outs:
+                    o.copy_to_host_async()
+        return outs, fused
+
+    def _collect_page(self, page, timer) -> list[str]:
         """Token readback + detokenization for one page's dispatches."""
+        outs, fused = page
         if not outs:
             return []
         stage = _stage_fn(timer)
-        results_per_batch = []
-        for b, out in outs:
-            # labeled distinctly from _dispatch_page's async "dispatch"
-            # stage: this is where the host blocks on device completion.
+        if fused is not None:
+            # ONE blocking readback for the whole page, then host slicing
+            with stage("readback"):
+                rows = np.asarray(fused)
+            per_batch, off = [], 0
+            for b, o in outs:
+                per_batch.append(rows[off : off + b.valid])
+                off += o.shape[0]
+        else:
             # Fetch the FULL packed array and slice on the host: a device-
             # side ``tokens[:valid]`` would be its own jitted dispatch — one
             # extra tunnel round-trip (~25 ms) per page — while the padded
-            # rows are a few KB of extra readback bytes.
-            with stage("readback"):
-                packed = np.asarray(out)[: b.valid]
-                lengths = packed[:, 0]
-                tokens = packed[:, 1:]
+            # rows are a few KB of extra readback bytes.  Labeled distinctly
+            # from _dispatch_page's async "dispatch" stage: this is where
+            # the host blocks on device completion.
+            per_batch = []
+            for b, out in outs:
+                with stage("readback"):
+                    per_batch.append(np.asarray(out)[: b.valid])
+        results_per_batch = []
+        for (b, _), packed in zip(outs, per_batch):
             with stage("detok"):
                 results_per_batch.append(
-                    self.tokenizer.decode_batch(tokens, lengths)
+                    self.tokenizer.decode_batch(packed[:, 1:], packed[:, 0])
                 )
         return batching.scatter_results([b for b, _ in outs], results_per_batch)
 
@@ -534,9 +652,10 @@ class TpuMangaOcrEngine:
 
         The packed wire's device-unpack programs (one per occupied row-cap
         quantum — ``batching.CAP_QUANTA`` per (bucket, batch) worst case)
-        are NOT enumerated here: each is a trivial gather that compiles in
-        seconds, below the stall threshold the warm discipline exists for
-        (the model programs take minutes)."""
+        and the fused page wire's per-split unpack/concat programs are NOT
+        enumerated here: each is a trivial gather/slice/copy that compiles
+        in seconds, below the stall threshold the warm discipline exists
+        for (the model programs take minutes)."""
         if full:
             pairs = self.warm_set(bucket_hws, batch_sizes)
         else:

@@ -149,6 +149,10 @@ def main(argv=None) -> int:
         "--wire", default="gray", choices=("gray", "packed"),
         help="host->device crop format (see cli.py --wire)",
     )
+    p.add_argument(
+        "--no-coalesce", action="store_true",
+        help="disable multi-bucket page coalescing (see cli.py --no-coalesce)",
+    )
     p.add_argument("--window-ms", type=float, default=10.0)
     args = p.parse_args(argv)
 

@@ -261,3 +261,74 @@ def test_packed_wire_engine_matches_gray():
     crops = [_crop(40, 60, 41), _crop(64, 48, 42), _crop(30, 30, 43),
              _crop(1400, 700, 44)]
     assert p.ocr_page(crops) == g.ocr_page(crops)
+
+
+def test_multibucket_coalesced_readback(engine):
+    """A page spanning multiple shape buckets fuses every bucket's token
+    matrix into ONE device array (one readback RPC) and returns exactly the
+    texts the per-bucket readback path returns."""
+    crops = [_crop(40, 60, 51), _crop(300, 90, 52), _crop(100, 400, 53),
+             _crop(30, 30, 54)]
+    outs, fused = engine._dispatch_page(crops, 1, None)
+    assert len(outs) > 1, "workload must span multiple buckets"
+    assert fused is not None
+    assert fused.shape[0] == sum(o.shape[0] for _, o in outs)
+    coalesced = engine._collect_page((outs, fused), None)
+
+    import jax.numpy as jnp
+
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))  # == fixture init
+    plain = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8,
+        dtype=jnp.float32, coalesce=False,
+    )
+    p_outs, p_fused = plain._dispatch_page(crops, 1, None)
+    assert p_fused is None
+    assert coalesced == plain._collect_page((p_outs, p_fused), None)
+    # and through the public entry
+    assert coalesced == engine.ocr_page(crops)
+
+
+def test_single_bucket_page_skips_coalesce(engine):
+    """Single-bucket pages (the common case) never pay the concat."""
+    outs, fused = engine._dispatch_page([_crop(40, 60, 61), _crop(50, 50, 62)], 1, None)
+    assert len(outs) == 1 and fused is None
+
+
+def test_fused_wire_unpack_bitcast_roundtrip():
+    """The fused page wire's int32-extents-as-uint8 serialization must
+    bitcast back exactly on device (little-endian minor-dim packing)."""
+    import jax.numpy as jnp
+    import jax
+
+    sizes = np.array([[40, 60], [300, 90], [65535, 1]], np.int32)
+    wire = jnp.asarray(np.ascontiguousarray(sizes).view(np.uint8).reshape(-1))
+    back = jax.lax.bitcast_convert_type(wire.reshape(3, 2, 4), jnp.int32)
+    np.testing.assert_array_equal(np.asarray(back), sizes)
+
+
+def test_fused_wire_matches_per_bucket_transfers(engine):
+    """Multi-bucket pages over the single fused h2d buffer return exactly
+    the texts the per-bucket-transfer path returns, for every prep surface
+    (RGB, grayscale 2D, [h,w,1]) and orientations."""
+    import jax.numpy as jnp
+
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))  # == fixture init
+    plain = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8,
+        dtype=jnp.float32, coalesce=False,
+    )
+    rng = np.random.default_rng(5)
+    crops = [
+        _crop(40, 60, 81),
+        _crop(300, 90, 82),
+        rng.integers(0, 256, size=(50, 45)).astype(np.uint8),       # 2D gray
+        rng.integers(0, 256, size=(45, 50, 1)).astype(np.uint8),    # [h,w,1]
+        _crop(100, 400, 83),
+    ]
+    for orient in (0, 1, 2):
+        assert engine.ocr_page(crops, orientation=orient) == plain.ocr_page(
+            crops, orientation=orient
+        )

@@ -76,3 +76,20 @@ def test_engine_mesh_odd_batch_padding():
     )
     out = eng.ocr_page([_crop(30, 30, i) for i in range(3)])
     assert len(out) == 3
+
+
+def test_engine_mesh_multibucket_coalesced_readback():
+    """The device-side coalesced readback must also hold under a
+    data-parallel mesh (sharded per-bucket outputs concatenated on device)."""
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(6))
+    tok = CharTokenizer.synthetic()
+    mesh = meshlib.make_mesh(n_data=8, n_model=1)
+    sharded = TpuMangaOcrEngine(
+        params, cfg, tok, max_length=8, dtype=jnp.float32, mesh=mesh
+    )
+    single = TpuMangaOcrEngine(params, cfg, tok, max_length=8, dtype=jnp.float32)
+    crops = [_crop(40, 60, 70), _crop(300, 90, 71), _crop(100, 400, 72)]
+    outs, fused = sharded._dispatch_page(crops, 1, None)
+    assert len(outs) > 1 and fused is not None
+    assert sharded._collect_page((outs, fused), None) == single.ocr_page(crops)
