@@ -53,11 +53,12 @@ def _err(msg: str) -> str:
 # Device-side concat of per-bucket packed token matrices ([n_i, 1+L] int32,
 # same width for every bucket) so a multi-bucket page costs ONE host
 # readback instead of one per bucket.  Each readback blocks on a full
-# device→host round-trip on remote/tunneled runtimes (~25 ms), which
-# measured as a ~2x streamed-rate drop on two-bucket pages (docs/PERF.md
-# round-3 full-path recheck); the concat itself is a trivial int32 copy.
-# jax.jit keys on the argument shapes, so each distinct per-page bucket
-# split compiles its own (seconds-cheap) gather program.
+# device→host round-trip on remote/tunneled runtimes (~25 ms); together
+# with the fused wire below this measured +2-4% streamed on two-bucket
+# pages through the tunnel (docs/PERF.md round-3 coalesce A/B) — the
+# concat itself is a trivial int32 copy.  jax.jit keys on the argument
+# shapes, so each distinct per-page bucket split compiles its own
+# (seconds-cheap) gather program.
 _concat_rows = jax.jit(lambda *arrs: jnp.concatenate(arrs, axis=0))
 
 
@@ -115,9 +116,10 @@ class TpuMangaOcrEngine:
         batch-sharded mesh would need per-shard buffers).
 
         ``coalesce``: collapse a multi-bucket page's host↔device traffic to
-        single-bucket-page RPC counts (docs/PERF.md measured the streamed
-        rate DROPPING ~2x when the crop mix spans two buckets — each extra
-        transfer/readback is a full round-trip on remote runtimes):
+        single-bucket-page RPC counts — each extra transfer/readback is a
+        full round-trip on remote runtimes (docs/PERF.md coalesce A/B:
+        two RPCs saved per extra bucket, +2-4% streamed on two-bucket
+        pages through the tunnel, strictly fewer RPCs on any link):
 
         - wire side (single device, gray wire): every bucket's crop bytes
           and int32 extents ship as ONE concatenated uint8 buffer — one
@@ -328,6 +330,12 @@ class TpuMangaOcrEngine:
                 return tuple(outs)
 
             with self._lock:
+                # bound resident executables for long-running servers: the
+                # split signature space is combinatorial over (bucket,
+                # batch) pairs, and each entry pins a compiled program.
+                # Recompiles are seconds-cheap, so on overflow just reset.
+                if len(self._unpack_fns) >= 64:
+                    self._unpack_fns.clear()
                 fn = self._unpack_fns.setdefault(split_key, jax.jit(unpack))
         return fn
 
@@ -337,14 +345,21 @@ class TpuMangaOcrEngine:
         unpacked device-side by the per-split jitted program."""
         stage = _stage_fn(timer)
         split_key = tuple((b.bucket_hw, b.crops.shape[0]) for b in batches)
-        parts = []
-        for b in batches:
-            parts.append(b.crops.reshape(-1))
-            parts.append(
-                np.ascontiguousarray(b.sizes, np.int32).view(np.uint8).reshape(-1)
-            )
+        with stage("host_prep"):
+            # the page-sized host memcpy is prep, not wire: keep the "h2d"
+            # stage pure transfer so --no-coalesce A/B splits compare
+            # like-for-like
+            parts = []
+            for b in batches:
+                parts.append(b.crops.reshape(-1))
+                parts.append(
+                    np.ascontiguousarray(b.sizes, np.int32)
+                    .view(np.uint8)
+                    .reshape(-1)
+                )
+            wire = np.concatenate(parts)
         with stage("h2d"):
-            dwire = jnp.asarray(np.concatenate(parts))
+            dwire = jnp.asarray(wire)
             if timer is not None:
                 jax.block_until_ready(dwire)
         outs = []

@@ -100,7 +100,8 @@ def main() -> None:
     for mode in ("full", "readback", "off", "full"):
         engine._coalesce = mode in ("full", "readback")
         engine._fuse_wire = mode == "full"
-        texts_by_mode.setdefault(mode, engine.ocr_page(page))
+        if mode not in texts_by_mode:
+            texts_by_mode[mode] = engine.ocr_page(page)
         engine.ocr_pages(pages[:2])
         rate = stream_rate(engine, pages)
         split = sync_split(engine, page)
