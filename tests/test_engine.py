@@ -332,3 +332,22 @@ def test_fused_wire_matches_per_bucket_transfers(engine):
         assert engine.ocr_page(crops, orientation=orient) == plain.ocr_page(
             crops, orientation=orient
         )
+
+
+def test_dual_pass_multibucket_coalesced(engine):
+    """Dual-pass on a page spanning multiple shape buckets composes with
+    traffic coalescing (the combined raw+preprocessed batch is itself
+    multi-bucket) and matches the un-coalesced engine pair-for-pair."""
+    import jax.numpy as jnp
+
+    crops = [_crop(40, 60, 91), _crop(300, 90, 92), _crop(100, 400, 93)]
+    pairs = engine.ocr_page_dual(crops)
+    assert len(pairs) == 3 and all(len(p) == 2 for p in pairs)
+
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))  # == fixture init
+    plain = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8,
+        dtype=jnp.float32, coalesce=False,
+    )
+    assert pairs == plain.ocr_page_dual(crops)
