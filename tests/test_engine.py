@@ -351,3 +351,14 @@ def test_dual_pass_multibucket_coalesced(engine):
         dtype=jnp.float32, coalesce=False,
     )
     assert pairs == plain.ocr_page_dual(crops)
+
+
+def test_wire_unpack_cache_bounded(engine):
+    """The per-split unpack-program cache must stay bounded for long-running
+    servers (the split-signature space is combinatorial)."""
+    for i in range(70):
+        engine._wire_unpack_fn((((8 * (i + 1), 128), 4),))
+    assert len(engine._unpack_fns) <= 64
+    # reuse after the reset still works end-to-end
+    crops = [_crop(40, 60, 95), _crop(300, 90, 96)]
+    assert len(engine.ocr_page(crops)) == 2
