@@ -24,4 +24,4 @@ Typeset Tool" (irazawa/Manga-OCR), designed TPU-first:
                   geometry serialization (no GUI deps).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

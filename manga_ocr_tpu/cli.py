@@ -8,7 +8,7 @@ translate → typeset → export, plus project save/load.
 Usage examples:
     python -m manga_ocr_tpu.cli ocr IMAGE [IMAGE...]        # OCR whole pages
     python -m manga_ocr_tpu.cli process FOLDER --out DIR    # full pipeline
-    python -m manga_ocr_tpu.cli bench --batch 128           # quick throughput
+    python -m manga_ocr_tpu.cli bench                       # throughput (JSON)
 """
 
 from __future__ import annotations
@@ -190,9 +190,9 @@ def cmd_process(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench  # repo-root bench.py
+    from manga_ocr_tpu import benchmark
 
-    bench.main()
+    benchmark.main()
     return 0
 
 

@@ -53,3 +53,29 @@ def test_cli_missing_image_errors(tmp_path, monkeypatch):
     monkeypatch.setattr(cli, "_build_engine", lambda args: None)
     rc = cli.main(["ocr", str(tmp_path / "nope.png")])
     assert rc == 1
+
+
+def test_bench_shim_and_module_agree():
+    """`python bench.py` (driver contract) and `manga-ocr-tpu bench` must hit
+    the same implementation: the repo-root shim re-exports the package
+    module's entry points and the CLI subcommand imports the module."""
+    import importlib.util
+    import os
+
+    from manga_ocr_tpu import benchmark
+
+    root = os.path.join(os.path.dirname(__file__), os.pardir)
+    spec = importlib.util.spec_from_file_location(
+        "bench_shim", os.path.join(root, "bench.py")
+    )
+    shim = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(shim)
+    assert shim.main is benchmark.main
+    assert shim.run_full_path is benchmark.run_full_path
+    # scored-output contract pieces stay put
+    assert benchmark.NORTH_STAR == 5000.0
+    assert benchmark.MAX_NEW_TOKENS == 32
+    # scripts/warm_cache.py reads these off the shim — keep them re-exported
+    assert shim.MAX_NEW_TOKENS is benchmark.MAX_NEW_TOKENS
+    assert shim.BATCH_SIZES is benchmark.BATCH_SIZES
+    assert shim.NORTH_STAR is benchmark.NORTH_STAR
