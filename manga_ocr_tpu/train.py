@@ -91,9 +91,17 @@ def init_train_state(
     key: jax.Array,
     mesh: Mesh | None = None,
     dtype=jnp.float32,
+    init_params: dict | None = None,
 ):
-    """Initialize (params, opt_state), placed onto the mesh if given."""
-    params = mdl.init_params(cfg, key, dtype)
+    """Initialize (params, opt_state), placed onto the mesh if given.
+
+    ``init_params``: start from these weights (e.g. a converted HF
+    checkpoint for fine-tuning) instead of random init."""
+    params = (
+        mdl.cast_params(init_params, dtype)
+        if init_params is not None
+        else mdl.init_params(cfg, key, dtype)
+    )
     if mesh is not None:
         params = meshlib.shard_params(params, mesh)
     opt_state = optimizer.init(params)
@@ -340,11 +348,14 @@ def train(
     resume: bool = False,
     log_every: int = 50,
     seed: int = 0,
+    init_params: dict | None = None,
 ):
     """The training loop: schedule, prefetch, periodic resumable checkpoints.
 
     Returns (params, losses).  ``dataset`` is any TrainBatch iterator
-    (``synthetic_dataset`` / ``directory_dataset``)."""
+    (``synthetic_dataset`` / ``directory_dataset``).  ``init_params``:
+    fine-tune from these weights instead of random init (ignored when
+    resuming from a saved train state, which carries its own params)."""
     schedule = make_lr_schedule(peak_lr, warmup_steps, max(steps, warmup_steps + 1))
     optimizer = optax.adamw(schedule, weight_decay=0.01)
     start = 0
@@ -356,7 +367,8 @@ def train(
             params = meshlib.shard_params(params, mesh)
     else:
         params, opt_state = init_train_state(
-            cfg, optimizer, jax.random.PRNGKey(seed), mesh
+            cfg, optimizer, jax.random.PRNGKey(seed), mesh,
+            init_params=init_params,
         )
     step_fn = make_train_step(cfg, optimizer, mesh)
     losses = []
@@ -372,3 +384,81 @@ def train(
     finally:
         it.close()
     return params, losses
+
+
+def main(argv=None) -> int:
+    """CLI fine-tuning entry: ``python -m manga_ocr_tpu.train``.
+
+    Synthetic data by default (smoke/overfit runs); pass ``--data DIR`` of
+    (crop.png, crop.txt) pairs for real fine-tuning.  ``--mesh-data N``
+    shards the batch over N devices (data parallelism); ``--mesh-model M``
+    adds tensor-parallel param shardings.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="manga-ocr-tpu-train")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--seq-len", type=int, default=32)
+    p.add_argument("--data", default="", help="dir of (crop.png, crop.txt) pairs; default: synthetic")
+    p.add_argument("--config", default="base", choices=("base", "tiny"))
+    p.add_argument("--init-checkpoint", default="", help="HF checkpoint dir to fine-tune from")
+    p.add_argument("--checkpoint-dir", default="", help="where to write resumable train state")
+    p.add_argument("--checkpoint-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup-steps", type=int, default=100)
+    p.add_argument("--mesh-data", type=int, default=0, help="data-parallel mesh size (0 = no mesh)")
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+    from manga_ocr_tpu.utils import jax_cache
+
+    jax_cache.enable()
+    cfg = MangaOCRConfig.base() if args.config == "base" else MangaOCRConfig.tiny()
+    tok = CharTokenizer.synthetic()
+    init_params = None
+    if args.init_checkpoint:
+        from manga_ocr_tpu.models.convert import load_hf_checkpoint
+
+        init_params, cfg = load_hf_checkpoint(args.init_checkpoint)
+        vocab = os.path.join(args.init_checkpoint, "vocab.txt")
+        if os.path.exists(vocab):
+            tok = CharTokenizer.from_vocab_file(vocab)
+    # A model axis > 1 implies a mesh even without --mesh-data (data size
+    # defaults to all-devices/model inside make_mesh).
+    mesh = (
+        meshlib.make_mesh(args.mesh_data or None, args.mesh_model)
+        if (args.mesh_data or args.mesh_model > 1)
+        else None
+    )
+    if args.data:
+        dataset = directory_dataset(
+            args.data, cfg, tok, args.batch_size, args.seq_len, seed=args.seed
+        )
+    else:
+        dataset = synthetic_dataset(
+            cfg, tok, args.batch_size, args.seq_len, seed=args.seed
+        )
+    _, losses = train(
+        cfg,
+        dataset,
+        steps=args.steps,
+        mesh=mesh,
+        peak_lr=args.lr,
+        warmup_steps=args.warmup_steps,
+        checkpoint_dir=args.checkpoint_dir or None,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        seed=args.seed,
+        init_params=init_params,
+    )
+    for i, loss in enumerate(losses):
+        print(f"log[{i}] loss={loss:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -92,3 +92,35 @@ def test_directory_dataset_reads_fixture_format(tmp_path):
     assert batch.tokens.shape == (2, 8)
     # BOS + 2 chars + EOS => 4 masked positions
     assert float(batch.loss_mask[0].sum()) == 4.0
+
+
+def test_train_cli_smoke(tmp_path, capsys):
+    """`python -m manga_ocr_tpu.train` end-to-end on the tiny config:
+    synthetic data, a few steps, checkpoint written, loss printed."""
+    rc = trainlib.main(
+        [
+            "--config", "tiny",
+            "--steps", "4",
+            "--batch-size", "2",
+            "--seq-len", "8",
+            "--checkpoint-dir", str(tmp_path),
+            "--checkpoint-every", "4",
+            "--warmup-steps", "1",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "train_state.json").exists()
+    assert "loss=" in capsys.readouterr().out
+
+
+def test_init_params_seed_finetune():
+    """init_params seeds the train state (fine-tune start), bit-exact."""
+    cfg = MangaOCRConfig.tiny()
+    opt = trainlib.make_optimizer(lr=1e-3)
+    seed_params = trainlib.init_train_state(cfg, opt, jax.random.PRNGKey(7))[0]
+    params, _ = trainlib.init_train_state(
+        cfg, opt, jax.random.PRNGKey(0), init_params=seed_params
+    )
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    ref = jax.tree_util.tree_leaves(seed_params)[0]
+    assert np.array_equal(np.asarray(leaf), np.asarray(ref))
