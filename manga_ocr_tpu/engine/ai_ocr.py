@@ -244,8 +244,10 @@ class AiOcrEngine:
         # layers that switch providers swap the engine instance (URL + key)
         # together.
         if "generativelanguage" in self.url:
-            # Gemini inline_data path
-            return self._call_gemini(cv_bgr_image, prompt, key)
+            # Gemini inline_data path — reuse the base64 PNG already encoded
+            # for the cache key instead of PNG-compressing the crop again
+            b64_png = data_url.split(",", 1)[1]
+            return self._call_gemini(b64_png, prompt, key)
 
         headers = {}
         if self.api_key:
@@ -272,12 +274,7 @@ class AiOcrEngine:
                 return text
         return _err(f"AI_OCR: {last_error}")
 
-    def _call_gemini(self, image_bgr: np.ndarray, prompt: str, key: str) -> str:
-        from PIL import Image
-        import io as _io
-
-        buf = _io.BytesIO()
-        Image.fromarray(image_bgr[..., ::-1]).save(buf, format="PNG")
+    def _call_gemini(self, b64_png: str, prompt: str, key: str) -> str:
         payload = {
             "contents": [
                 {
@@ -286,7 +283,7 @@ class AiOcrEngine:
                         {
                             "inline_data": {
                                 "mime_type": "image/png",
-                                "data": base64.b64encode(buf.getvalue()).decode(),
+                                "data": b64_png,
                             }
                         },
                     ]

@@ -196,16 +196,17 @@ class TpuMangaOcrEngine:
         self.mesh = mesh
         self.params = mdl.cast_params(params, dtype)
         if serving_kernels and quantize_int8:
-            from manga_ocr_tpu.models.quantize import quantize_decoder, quantize_encoder
+            from manga_ocr_tpu.models.quantize import quantize_encoder
 
             # quantize from the ORIGINAL (pre-cast) weights; int8 values and
-            # f32 scales are preserved, every other float leaf goes to dtype
+            # f32 scales are preserved, every other float leaf goes to dtype.
+            # Decoder weights stay unquantized: the serving decode path is
+            # the whole-loop kernel (step_kernel="fused_loop" above), which
+            # consumes bf16 weights + int8 cross-KV; only the flag-gated
+            # fused-STEP kernels (ops/decode_layer.py, off here — measured
+            # slower, docs/PERF.md) take models.quantize.quantize_decoder
+            # output.
             decoder_params = self.params["decoder"]
-            if cfg.decoder.step_kernel == "fused_layer":
-                # only the fused step kernels consume int8 decoder weights
-                decoder_params = _cast_quantized(
-                    quantize_decoder(params["decoder"]), dtype
-                )
             self.params = {
                 "encoder": _cast_quantized(
                     quantize_encoder(params["encoder"], quantize_attn_proj=True),

@@ -18,6 +18,7 @@ adapters kept for capability parity.
 
 from __future__ import annotations
 
+import importlib.util
 import shutil
 import subprocess
 import tempfile
@@ -50,8 +51,18 @@ def _latin_preprocess(image: np.ndarray, settings: dict) -> np.ndarray:
     }.get(setting, pp.ORIENT_AUTO)
     image = batching.orient_crop(image, orientation)
     graph_orient = pp.ORIENT_AUTO if orientation == pp.ORIENT_AUTO else pp.ORIENT_NONE
-    out, _ = pp.ocr_preprocess(jnp.asarray(image[None]), orientation=graph_orient)
-    return np.asarray(out[0])
+    # Bucket-pad even the single crop: a raw (1, h, w, 3) call would compile
+    # one XLA program per distinct crop shape (unbounded on a long-running
+    # server); the bucket set bounds the shape count, and ``sizes`` masks the
+    # graph's statistics to the valid region (same pattern as
+    # engine.ocr_page_dual).
+    [batch] = batching.bucket_crops([image])
+    out, _ = pp.ocr_preprocess(
+        jnp.asarray(batch.crops), orientation=graph_orient,
+        sizes=jnp.asarray(batch.sizes),
+    )
+    h, w = batch.sizes[0]
+    return np.asarray(out[0, :h, :w])
 
 
 class OcrEngine(Protocol):
@@ -62,29 +73,59 @@ class EngineRegistry:
     def __init__(self):
         self._engines: dict[str, object] = {}
         self._factories: dict[str, Callable[[], object]] = {}
+        self._probes: dict[str, Callable[[], bool]] = {}
 
     def register(self, name: str, engine: object) -> None:
         self._engines[name] = engine
 
-    def register_lazy(self, name: str, factory: Callable[[], object]) -> None:
+    def register_lazy(
+        self,
+        name: str,
+        factory: Callable[[], object],
+        probe: Callable[[], bool] | None = None,
+    ) -> None:
+        """``probe``: cheap availability check (package present / binary on
+        PATH) so listing engines never constructs them — constructors may
+        download pretrained weights (EasyOCR/DocTR/Paddle)."""
         self._factories[name] = factory
+        if probe is not None:
+            self._probes[name] = probe
 
     def get(self, name: str):
         if name in self._engines:
             return self._engines[name]
         if name in self._factories:
             try:
-                engine = self._factories.pop(name)()
+                engine = self._factories[name]()
             except Exception:
                 engine = None
             if engine is not None:
                 self._engines[name] = engine
+                # constructed: the factory (and probe) are no longer needed
+                del self._factories[name]
+                self._probes.pop(name, None)
+            # on failure the factory stays registered: a transient init
+            # error (e.g. weights download while offline) must not disable
+            # the engine for the process lifetime
             return engine
         return None
 
     def available_engines(self) -> list[str]:
-        names = set(self._engines) | set(self._factories)
-        return sorted(n for n in names if self.get(n) is not None)
+        """Engines that are constructed, probe as available, or construct on
+        demand.  Probed entries are NOT constructed here."""
+        out = []
+        for n in sorted(set(self._engines) | set(self._factories)):
+            if n in self._engines:
+                out.append(n)
+            elif n in self._probes:
+                try:
+                    if self._probes[n]():
+                        out.append(n)
+                except Exception:
+                    pass
+            elif self.get(n) is not None:
+                out.append(n)
+        return out
 
     # -- dispatch (perform_ocr contract) ---------------------------------------
 
@@ -174,7 +215,11 @@ def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
         reg.register("Manga-OCR", tpu_engine)
     if ai_ocr is not None:
         reg.register("AI_OCR", ai_ocr)
-    reg.register_lazy("Tesseract", TesseractEngine)
+    reg.register_lazy(
+        "Tesseract",
+        TesseractEngine,
+        probe=lambda: shutil.which("tesseract") is not None,
+    )
 
     def _easyocr():
         import easyocr  # optional
@@ -188,7 +233,11 @@ def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
 
         return _E()
 
-    reg.register_lazy("EasyOCR", _easyocr)
+    reg.register_lazy(
+        "EasyOCR",
+        _easyocr,
+        probe=lambda: importlib.util.find_spec("easyocr") is not None,
+    )
 
     def _paddleocr():
         from paddleocr import PaddleOCR  # optional
@@ -222,7 +271,11 @@ def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
 
         return _P()
 
-    reg.register_lazy("PaddleOCR", _paddleocr)
+    reg.register_lazy(
+        "PaddleOCR",
+        _paddleocr,
+        probe=lambda: importlib.util.find_spec("paddleocr") is not None,
+    )
 
     def _doctr():
         from doctr.models import ocr_predictor  # optional
@@ -241,7 +294,11 @@ def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
 
         return _D()
 
-    reg.register_lazy("DocTR", _doctr)
+    reg.register_lazy(
+        "DocTR",
+        _doctr,
+        probe=lambda: importlib.util.find_spec("doctr") is not None,
+    )
 
     def _rapidocr():
         from rapidocr_onnxruntime import RapidOCR  # optional
@@ -255,5 +312,9 @@ def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
 
         return _R()
 
-    reg.register_lazy("RapidOCR", _rapidocr)
+    reg.register_lazy(
+        "RapidOCR",
+        _rapidocr,
+        probe=lambda: importlib.util.find_spec("rapidocr_onnxruntime") is not None,
+    )
     return reg

@@ -168,6 +168,12 @@ def bucket_crops(
     fitted = []
     for c in crops:
         c = np.ascontiguousarray(c)
+        # accept 2D / single-channel grayscale crops like the page-prep
+        # paths do (prep_page_gray native + numpy surfaces)
+        if c.ndim == 2:
+            c = np.repeat(c[..., None], 3, axis=2)
+        elif c.shape[2] == 1:
+            c = np.repeat(c, 3, axis=2)
         h, w = c.shape[:2]
         if not any(h <= bh and w <= bw for bh, bw in buckets):
             best = max(buckets, key=lambda b: min(b[0] / h, b[1] / w))

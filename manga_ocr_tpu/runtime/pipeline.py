@@ -113,16 +113,26 @@ class MicroBatcher:
                     batch.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-            crops = [c for c, _ in batch]
-            futures = [f for _, f in batch]
+            # Drop entries whose caller cancelled while queued (and claim the
+            # rest against further cancellation) BEFORE spending device time.
+            live = [
+                (c, f) for c, f in batch if f.set_running_or_notify_cancel()
+            ]
+            if not live:
+                continue
+            crops = [c for c, _ in live]
+            futures = [f for _, f in live]
             try:
                 texts = self.batch_fn(crops)
-                for fut, text in zip(futures, texts):
-                    fut.set_result(text)
             except Exception as e:
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
+                continue
+            for fut, text in zip(futures, texts):
+                # a cancelled/raced future must not poison its batchmates
+                if not fut.done():
+                    fut.set_result(text)
 
     def close(self) -> None:
         self._stop.set()
@@ -242,9 +252,16 @@ class PagePipeline:
                 for i, text in zip(need_ocr, texts):
                     originals[i] = text
 
-        # Translation (concurrent HTTP; batch API when provided)
+        # Translation (concurrent HTTP; batch API when provided).  OCR
+        # sentinel failures ("[ERROR: ...]") are never sent to translators —
+        # a wasted network call whose output would be a translation of the
+        # error text; they pass through and become JobResult.error below.
         translations: dict[int, str] = {}
-        idxs = list(range(len(jobs)))
+        idxs = [
+            i
+            for i in range(len(jobs))
+            if not str(originals.get(i, "")).startswith("[ERROR")
+        ]
         if self.translate_batch is not None and not enhanced:
             batch_out = self.translate_batch(
                 [originals[i] for i in idxs], jobs[0].settings if jobs else {}
@@ -263,8 +280,9 @@ class PagePipeline:
 
             for i, t in self._pool.map(_do, missing):
                 translations[i] = t
-        for i in idxs:
-            translations.setdefault(i, originals[i])  # no translator: passthrough
+        for i in range(len(jobs)):
+            # no translator / error sentinel: passthrough
+            translations.setdefault(i, originals.get(i, ""))
 
         for i, job in enumerate(jobs):
             original = originals.get(i, "")

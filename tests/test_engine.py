@@ -362,3 +362,61 @@ def test_wire_unpack_cache_bounded(engine):
     # reuse after the reset still works end-to-end
     crops = [_crop(40, 60, 95), _crop(300, 90, 96)]
     assert len(engine.ocr_page(crops)) == 2
+
+
+def test_bucketing_accepts_grayscale_crops():
+    """2D and [h,w,1] crops bucket like the page-prep paths accept them
+    (regression: dual-pass crashed on grayscale scans)."""
+    g2 = np.random.default_rng(3).integers(0, 255, size=(50, 60)).astype(np.uint8)
+    g1 = g2[..., None]
+    [b] = batching.bucket_crops([g2, g1, _crop(50, 60, 7)])
+    assert b.crops.shape[3] == 3 and b.valid == 3
+    assert np.array_equal(b.crops[0, :50, :60, 0], g2)
+    assert np.array_equal(b.crops[0], b.crops[1])  # same content, both forms
+
+
+def test_dual_pass_grayscale_crops(engine):
+    pairs = engine.ocr_page_dual(
+        [np.full((40, 50), 180, np.uint8), _crop(40, 50, 5)]
+    )
+    assert len(pairs) == 2
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in pairs)
+
+
+def test_registry_lazy_factory_retries_after_transient_failure():
+    from manga_ocr_tpu.engine.registry import EngineRegistry
+
+    calls = {"n": 0}
+
+    class _E:
+        def perform_ocr(self, image, settings=None):
+            return "ok"
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient (e.g. offline weight download)")
+        return _E()
+
+    reg = EngineRegistry()
+    reg.register_lazy("Flaky", flaky)
+    assert reg.get("Flaky") is None       # first attempt fails...
+    assert reg.get("Flaky") is not None   # ...but is retried, not poisoned
+    assert calls["n"] == 2
+    assert reg.get("Flaky") is not None and calls["n"] == 2  # cached now
+
+
+def test_registry_available_engines_uses_probe_without_constructing():
+    from manga_ocr_tpu.engine.registry import EngineRegistry
+
+    constructed = []
+
+    def heavy():
+        constructed.append(1)
+        return object()
+
+    reg = EngineRegistry()
+    reg.register_lazy("Heavy", heavy, probe=lambda: True)
+    reg.register_lazy("Absent", heavy, probe=lambda: False)
+    assert reg.available_engines() == ["Heavy"]
+    assert constructed == []  # listing must not construct (downloads!)

@@ -207,3 +207,69 @@ def test_process_pages_overlapped():
     assert sorted(out) == ["a.png", "b.png"]
     assert seen == ["a.png", "b.png"]
     assert out["a.png"][0].translated_text == "T0"
+
+
+def test_microbatcher_cancelled_future_does_not_poison_batch():
+    """A caller cancelling its queued future must not corrupt batchmates'
+    results (regression: set_result on a cancelled future raised
+    InvalidStateError and the handler then failed the whole batch)."""
+    release = threading.Event()
+
+    def batch_fn(crops):
+        return [f"ok{i}" for i in range(len(crops))]
+
+    mb = MicroBatcher(batch_fn, window_ms=80)
+    # first submit wakes the drain thread; grace window coalesces the rest
+    futs = [mb.submit(np.zeros((4, 4, 3), np.uint8)) for _ in range(4)]
+    cancelled = futs[1].cancel()  # may race the dispatch; either way no poison
+    out = [f.result(5) for j, f in enumerate(futs) if not (j == 1 and cancelled)]
+    mb.close()
+    assert all(o.startswith("ok") for o in out)
+
+
+def test_pipeline_error_sentinel_not_translated():
+    """OCR failures must not be sent to the translator (wasted call,
+    garbage 'translation')."""
+    seen = []
+
+    def ocr_page(crops):
+        return ["[ERROR: boom]"] + ["text"] * (len(crops) - 1)
+
+    def translate(text, settings):
+        seen.append(text)
+        return f"T({text})"
+
+    pipe = PagePipeline(ocr_page, translate=translate)
+    results = pipe.process_jobs([_job(0), _job(1)])
+    pipe.close()
+    assert results[0].error == "[ERROR: boom]"
+    assert results[0].area is None
+    assert results[1].translated_text == "T(text)"
+    assert seen == ["text"]
+
+
+def test_pipeline_batch_translate_skips_error_sentinels():
+    calls = []
+
+    def ocr_page(crops):
+        return ["[ERROR: boom]", "good"]
+
+    def translate_batch(texts, settings):
+        calls.append(list(texts))
+        return [f"B({t})" for t in texts]
+
+    pipe = PagePipeline(ocr_page, translate_batch=translate_batch)
+    results = pipe.process_jobs([_job(0), _job(1)])
+    pipe.close()
+    assert calls == [["good"]]
+    assert results[1].translated_text == "B(good)"
+    assert results[0].error == "[ERROR: boom]"
+
+
+def test_project_pdf_page_zero_survives_roundtrip(tmp_path):
+    """current_pdf_page=0 is a valid page and must not collapse to the -1
+    sentinel on load (regression: falsy-zero coercion)."""
+    proj = Project(project_dir=str(tmp_path), current_pdf_page=0)
+    path = str(tmp_path / "p.json")
+    save_project(proj, path)
+    assert load_project(path).current_pdf_page == 0
