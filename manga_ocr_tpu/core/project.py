@@ -141,7 +141,13 @@ class Project:
         proj = cls(
             project_dir=data.get("project_dir"),
             current_image_path=data.get("current_image_path"),
-            current_pdf_page=int(data.get("current_pdf_page", -1) or -1),
+            # NB: page 0 is valid — a plain `or -1` would coerce it to the
+            # "no PDF page" sentinel
+            current_pdf_page=(
+                int(data["current_pdf_page"])
+                if data.get("current_pdf_page") is not None
+                else -1
+            ),
             history_entries=list(data.get("history_entries") or []),
             proofreader_entries=list(data.get("proofreader_entries") or []),
             quality_entries=list(data.get("quality_entries") or []),

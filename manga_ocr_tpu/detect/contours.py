@@ -162,7 +162,12 @@ def find_speech_bubble_mask_contour(
     search = text_rect.adjusted(-padding, -padding, padding, padding).clamped(w, h)
     if search.w <= 0 or search.h <= 0:
         return None
-    region = full_image_bgr[search.top : search.bottom, search.left : search.right]
+    # Rect right/bottom are INCLUSIVE (Qt convention, core/geometry.py) —
+    # slice with +1 like every other consumer or the window loses its last
+    # row/column and border bubbles get their outline cut
+    region = full_image_bgr[
+        search.top : search.bottom + 1, search.left : search.right + 1
+    ]
     if region.size == 0:
         return None
     if HAS_CV2:

@@ -157,14 +157,16 @@ def split_extended_bubbles(
         aspect = bbox.w / bbox.h
         if aspect > split_threshold:
             half = bbox.w // 2
+            # second half takes the remainder: odd widths must not drop the
+            # bubble's final column from both re-OCR crops
             r1 = Rect(bbox.left, bbox.top, half, bbox.h)
-            r2 = Rect(bbox.left + half, bbox.top, half, bbox.h)
+            r2 = Rect(bbox.left + half, bbox.top, bbox.w - half, bbox.h)
             out.append({"polygon": polygon_from_rect(r1), "text": None})
             out.append({"polygon": polygon_from_rect(r2), "text": None})
         elif aspect > 0 and (1 / aspect) > split_threshold:
             half = bbox.h // 2
             r1 = Rect(bbox.left, bbox.top, bbox.w, half)
-            r2 = Rect(bbox.left, bbox.top + half, bbox.w, half)
+            r2 = Rect(bbox.left, bbox.top + half, bbox.w, bbox.h - half)
             out.append({"polygon": polygon_from_rect(r1), "text": None})
             out.append({"polygon": polygon_from_rect(r2), "text": None})
         else:

@@ -48,12 +48,16 @@ class TranslationService:
     # -- client factory --------------------------------------------------------
 
     def _client(self, provider: str):
-        cached = self._clients.get(provider)
-        if cached is not None:
-            return cached
+        # Fetch the active key EVERY call: get_active_key round-robins over
+        # the configured keys to spread quota, so the cache is per
+        # (provider, key) — caching per provider alone would pin the first
+        # key forever and defeat the rotation.
         key = self.settings.get_active_key(provider)
         if not key:
             raise ProviderError(f"no API key configured for {provider}")
+        cached = self._clients.get((provider, key))
+        if cached is not None:
+            return cached
         if provider == "gemini":
             client = GeminiClient(key, transport=self.transport)
         elif provider == "openai":
@@ -65,7 +69,7 @@ class TranslationService:
             client = DeepLClient(key, transport=self.transport)
         else:
             raise ProviderError(f"unknown provider {provider}")
-        self._clients[provider] = client
+        self._clients[(provider, key)] = client
         return client
 
     # -- main entry points -------------------------------------------------------

@@ -51,14 +51,17 @@ def dilate(mask: np.ndarray, radius: int) -> np.ndarray:
     nat = native.dilate_box(mask, radius)
     if nat is not None:
         return nat
-    out = mask.copy()
+    # zero-pad by the radius so np.roll's wraparound lands in the padding
+    # instead of the opposite edge (a bottom-row mask must not dilate into
+    # the top of the page)
+    out = np.pad(mask, radius)
     for axis in (0, 1):
         acc = out.copy()
         for d in range(1, radius + 1):
             acc = np.maximum(acc, np.roll(out, d, axis=axis))
             acc = np.maximum(acc, np.roll(out, -d, axis=axis))
         out = acc
-    return out
+    return out[radius:-radius, radius:-radius]
 
 
 def get_background_color(image_bgr: np.ndarray, region: Rect) -> tuple[int, int, int]:

@@ -39,10 +39,19 @@ _FONT_DIRS = [
 def register_font_dir(path: str) -> None:
     if path not in _FONT_DIRS:
         _FONT_DIRS.insert(0, path)
+        _FONT_PATH_CACHE.clear()  # new dir may resolve families differently
+
+
+_FONT_PATH_CACHE: dict = {}
 
 
 def _find_font_file(family: str) -> str | None:
+    # cache family -> path: _fit_font probes many sizes per area and each
+    # size miss would otherwise re-walk the whole font tree
     want = family.lower().replace(" ", "")
+    if want in _FONT_PATH_CACHE:
+        return _FONT_PATH_CACHE[want]
+    found = None
     for root in _FONT_DIRS:
         if not os.path.isdir(root):
             continue
@@ -51,8 +60,14 @@ def _find_font_file(family: str) -> str | None:
                 if f.lower().endswith((".ttf", ".otf", ".ttc")):
                     stem = os.path.splitext(f)[0].lower().replace(" ", "").replace("-", "")
                     if want in stem:
-                        return os.path.join(dirpath, f)
-    return None
+                        found = os.path.join(dirpath, f)
+                        break
+            if found:
+                break
+        if found:
+            break
+    _FONT_PATH_CACHE[want] = found
+    return found
 
 
 def load_font(font_info: dict) -> ImageFont.FreeTypeFont | ImageFont.ImageFont:

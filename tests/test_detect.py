@@ -132,3 +132,32 @@ def test_detector_end_to_end_random_weights():
     assert isinstance(dets, list)  # random weights: any count, valid schema
     for d in dets:
         assert d["text"] is None and d["polygon"].ndim == 2
+
+
+def test_split_extended_bubbles_odd_size_covers_every_column():
+    det = [{"polygon": polygon_from_rect(Rect(10, 20, 301, 40)), "text": "x"}]
+    out = post.split_extended_bubbles(det, split_threshold=4.0)
+    assert len(out) == 2
+    r1 = polygon_bounding_rect(out[0]["polygon"])
+    r2 = polygon_bounding_rect(out[1]["polygon"])
+    assert r1.left == 10 and r1.w == 150
+    assert r2.left == 160 and r2.w == 151  # remainder column kept
+    assert r1.right + 1 == r2.left and r2.right == Rect(10, 20, 301, 40).right
+
+
+def test_classical_finder_bubble_touching_border():
+    """The search-window slice must keep its inclusive last row/col so a
+    bubble outline on the page border isn't cut (regression)."""
+    img = np.full((120, 120, 3), 255, np.uint8)
+    # bubble outline flush against the bottom-right page corner
+    img[60:120, 60:120] = 255
+    for t in range(3):  # thick dark outline
+        img[60 + t, 60:120] = 30
+        img[119 - t, 60:120] = 30
+        img[60:120, 60 + t] = 30
+        img[60:120, 119 - t] = 30
+    mask = cont.find_speech_bubble_mask_contour(
+        img, Rect(80, 80, 20, 20), padding=25
+    )
+    assert mask is not None
+    assert mask.sum() > 0

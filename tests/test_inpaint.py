@@ -52,3 +52,19 @@ def test_wrapper_pads_odd_sizes(cfg, params):
 def test_wrapper_without_weights_raises():
     with pytest.raises(RuntimeError):
         ip.LamaInpainter()(np.zeros((8, 8, 3), np.uint8), np.zeros((8, 8), np.uint8))
+
+
+def test_dilate_fallback_does_not_wrap_edges(monkeypatch):
+    """np.roll-based dilation must not leak a bottom-edge mask into the top
+    of the page (regression: wraparound)."""
+    from manga_ocr_tpu import native
+    from manga_ocr_tpu.typeset import cleanup as cl
+
+    monkeypatch.setattr(cl, "HAS_CV2", False)
+    monkeypatch.setattr(native, "dilate_box", lambda m, r: None)
+    mask = np.zeros((32, 32), np.uint8)
+    mask[-1, 10:20] = 255  # bottom row
+    out = cl.dilate(mask, radius=3)
+    assert out[-1, 10:20].all() and out[-4, 10:20].all()  # dilated upward
+    assert out[:3].sum() == 0  # nothing wrapped to the top
+    assert out.shape == mask.shape

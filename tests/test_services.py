@@ -205,3 +205,48 @@ def test_style_notes_flow_into_prompt():
 
     p = build_translation_prompt("x", style_notes="Keep honorifics.")
     assert "Keep honorifics." in p
+
+
+def test_translation_service_rotates_keys_across_calls():
+    """Client caching must not pin the first API key (regression: per-
+    provider caching defeated get_active_key's round-robin rotation)."""
+    used = []
+
+    def transport(url, data, headers, timeout):
+        used.append((dict(headers), url))
+        return HttpResponse(
+            200,
+            json.dumps(
+                {"candidates": [{"content": {"parts": [{"text": "ok"}]}}]}
+            ).encode(),
+        )
+
+    s = Settings()
+    s.set("apis.gemini.keys", ["K1", "K2"])
+    svc = TranslationService(s, transport=transport)
+    for _ in range(4):
+        svc.translate_with_ai("hello", provider="gemini")
+    keys_seen = [url.split("key=")[-1] for _, url in used]
+    assert set(keys_seen) == {"K1", "K2"}
+    assert keys_seen[0] != keys_seen[1]  # alternating, not pinned
+
+
+def test_rate_limiter_save_load_roundtrip(tmp_path):
+    """save() snapshots under the lock and the deque-based windows reload
+    (regression: live-structure serialization race + list->deque move)."""
+    t = [1000.0]
+    path = str(tmp_path / "usage.json")
+    lims = {"m": ModelLimits(rpm=2, rpd=5, input_cost_per_1k=0.001, output_cost_per_1k=0.002)}
+    rl = RateLimiter(lims, store_path=path, clock=lambda: t[0])
+    assert rl.try_acquire("m") and rl.try_acquire("m")
+    assert not rl.try_acquire("m")  # rpm exhausted
+    rl.add_cost("m", 1000, 500)
+    rl.save()
+    rl2 = RateLimiter(lims, store_path=path, clock=lambda: t[0])
+    s = rl2.usage_summary()["m"]
+    assert s["rpm_used"] == 2 and s["rpd_used"] == 2
+    assert s["cost_usd"] > 0
+    assert not rl2.try_acquire("m")
+    t[0] += 61  # minute window rolls over, day window persists
+    assert rl2.try_acquire("m")
+    assert rl2.usage_summary()["m"]["rpd_used"] == 3
