@@ -72,4 +72,18 @@ def load_checkpoint(path: str, dtype=jnp.float32) -> tuple[dict, MangaOCRConfig]
         node[parts[-1]] = jnp.asarray(
             arr, dtype if np.issubdtype(arr.dtype, np.floating) else None
         )
-    return tree, cfg
+    return _relistify(tree), cfg
+
+
+def _relistify(node):
+    """Rebuild list nodes that ``_flatten`` encoded as numeric path segments
+    — a tree saved with a list (e.g. a U-Net's ``down``/``up`` stacks) must
+    round-trip as a list, not as ``{"0": ..., "1": ...}``."""
+    if not isinstance(node, dict):
+        return node
+    out = {k: _relistify(v) for k, v in node.items()}
+    if out and all(k.isdigit() for k in out):
+        idx = sorted(out, key=int)
+        if idx == [str(i) for i in range(len(idx))]:
+            return [out[k] for k in idx]
+    return out

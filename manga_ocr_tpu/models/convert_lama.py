@@ -59,7 +59,6 @@ def _ffc_unit(sd, pfx) -> dict:
     sl, bl = _bn(sd, f"{pfx}.bn_l")
     sg, bg = _bn(sd, f"{pfx}.bn_g")
     g2g = f"{pfx}.ffc.convg2g"
-    cg_half = _np(sd[f"{g2g}.conv2.weight"]).shape[1]
     return {
         # bn_l applies to convl2l(xl) + convg2l(xg): scale on both, bias once
         "l2l": {"kernel": _conv_w(sd, f"{pfx}.ffc.convl2l.weight", sl), "bias": bl},

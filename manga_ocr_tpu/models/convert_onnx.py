@@ -89,7 +89,6 @@ def _op_batchnorm(node, vals):
     x = vals[node.inputs[0]]
     s, b, mean, var = (vals[node.inputs[i]].astype(jnp.float32) for i in (1, 2, 3, 4))
     eps = float(_attr(node, "epsilon", 1e-5))
-    scale = s / np.sqrt(1.0)  # keep f32 math explicit
     scale = s * jax.lax.rsqrt(var + eps)
     y = x.astype(jnp.float32) * scale[None, :, None, None] + (
         b - mean * scale

@@ -144,9 +144,10 @@ def save_params(params: dict, path: str) -> None:
     np.savez(path, **flat)
 
 
-def load_params(path: str, cfg: DetectorConfig, dtype=jnp.float32) -> dict:
-    data = np.load(path)
-    template = init_params(cfg, jax.random.PRNGKey(0), dtype)
+def fill_template(data, template, dtype=jnp.float32):
+    """Fill a params pytree ``template`` from a flat mapping with
+    slash-joined keys ('a/b/0/kernel') — the inverse of ``save_params``.
+    Shared by every flat-npz model family (detector, yolo_seg)."""
 
     def fill(prefix, node):
         if isinstance(node, dict):
@@ -156,3 +157,8 @@ def load_params(path: str, cfg: DetectorConfig, dtype=jnp.float32) -> dict:
         return jnp.asarray(data[prefix], dtype)
 
     return fill("", template)
+
+
+def load_params(path: str, cfg: DetectorConfig, dtype=jnp.float32) -> dict:
+    data = np.load(path)
+    return fill_template(data, init_params(cfg, jax.random.PRNGKey(0), dtype), dtype)

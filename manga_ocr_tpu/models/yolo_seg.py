@@ -364,17 +364,10 @@ def save_params(params: dict, path: str) -> None:
 
 def load_params(path: str, cfg: YoloSegConfig, dtype=jnp.float32) -> dict:
     """Load a flat-npz pytree saved by ``save_params`` (template-driven)."""
+    from manga_ocr_tpu.models.detector import fill_template
+
     data = np.load(path)
-    template = init_params(cfg, jax.random.PRNGKey(0), dtype)
-
-    def fill(prefix, node):
-        if isinstance(node, dict):
-            return {k: fill(f"{prefix}/{k}" if prefix else k, v) for k, v in node.items()}
-        if isinstance(node, list):
-            return [fill(f"{prefix}/{i}", v) for i, v in enumerate(node)]
-        return jnp.asarray(data[prefix], dtype)
-
-    return fill("", template)
+    return fill_template(data, init_params(cfg, jax.random.PRNGKey(0), dtype), dtype)
 
 
 class YoloBubbleDetector:

@@ -15,6 +15,7 @@ import json
 import os
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -52,45 +53,52 @@ class RateLimiter:
         self.clock = clock
         self.sleep = sleep
         self._lock = threading.Lock()
-        # model -> list of request timestamps (pruned to 24h)
-        self._requests: dict[str, list[float]] = {}
+        # model -> deque of request timestamps, pruned to the 24h window
+        # (deque: O(1) popleft — the rpd window can legitimately hold
+        # millions of entries at e.g. gemini-flash-lite's 10M rpd).  A
+        # separate 60s deque serves the rpm check so acquire never scans
+        # the day window.
+        self._requests: dict[str, deque[float]] = {}
+        self._minute: dict[str, deque[float]] = {}
         self._costs: dict[str, float] = {}
         self._tokens: dict[str, dict[str, int]] = {}
         self._load()
 
     # -- limiting -------------------------------------------------------------
 
-    def _prune(self, model: str, now: float) -> list[float]:
-        reqs = self._requests.setdefault(model, [])
+    def _prune(self, model: str, now: float) -> tuple[deque, deque]:
+        reqs = self._requests.setdefault(model, deque())
         cutoff = now - 86400.0
         while reqs and reqs[0] < cutoff:
-            reqs.pop(0)
-        return reqs
+            reqs.popleft()
+        minute = self._minute.setdefault(model, deque())
+        m_cutoff = now - 60.0
+        while minute and minute[0] <= m_cutoff:
+            minute.popleft()
+        return reqs, minute
 
     def try_acquire(self, model: str) -> bool:
         """Non-blocking: register one request if within limits."""
         lim = self.limits.get(model, ModelLimits())
         now = self.clock()
         with self._lock:
-            reqs = self._prune(model, now)
-            in_minute = sum(1 for t in reqs if t > now - 60.0)
-            if lim.rpm and in_minute >= lim.rpm:
+            reqs, minute = self._prune(model, now)
+            if lim.rpm and len(minute) >= lim.rpm:
                 return False
             if lim.rpd and len(reqs) >= lim.rpd:
                 return False
             reqs.append(now)
+            minute.append(now)
             return True
 
     def seconds_until_slot(self, model: str) -> float:
         lim = self.limits.get(model, ModelLimits())
         now = self.clock()
         with self._lock:
-            reqs = self._prune(model, now)
+            reqs, minute = self._prune(model, now)
             waits = [0.0]
-            if lim.rpm:
-                minute = [t for t in reqs if t > now - 60.0]
-                if len(minute) >= lim.rpm:
-                    waits.append(minute[0] + 60.0 - now)
+            if lim.rpm and len(minute) >= lim.rpm:
+                waits.append(minute[0] + 60.0 - now)
             if lim.rpd and len(reqs) >= lim.rpd:
                 waits.append(reqs[0] + 86400.0 - now)
             return max(waits)
@@ -126,26 +134,30 @@ class RateLimiter:
     def usage_summary(self) -> dict:
         now = self.clock()
         with self._lock:
-            return {
-                model: {
-                    "rpm_used": sum(1 for t in reqs if t > now - 60.0),
+            out = {}
+            for model in list(self._requests):
+                reqs, minute = self._prune(model, now)
+                out[model] = {
+                    "rpm_used": len(minute),
                     "rpd_used": len(reqs),
                     "cost_usd": round(self._costs.get(model, 0.0), 6),
                     "tokens": dict(self._tokens.get(model, {})),
                 }
-                for model, reqs in self._requests.items()
-            }
+            return out
 
     # -- persistence ----------------------------------------------------------
 
     def save(self) -> None:
         if not self.store_path:
             return
+        # Snapshot COPIES under the lock: serializing the live structures
+        # outside it races concurrent try_acquire/add_cost mutation
+        # ("dictionary changed size during iteration" / torn files).
         with self._lock:
             payload = {
-                "requests": self._requests,
-                "costs": self._costs,
-                "tokens": self._tokens,
+                "requests": {k: list(v) for k, v in self._requests.items()},
+                "costs": dict(self._costs),
+                "tokens": {k: dict(v) for k, v in self._tokens.items()},
             }
         tmp = f"{self.store_path}.tmp"
         with open(tmp, "w") as f:
@@ -158,7 +170,15 @@ class RateLimiter:
         try:
             with open(self.store_path) as f:
                 payload = json.load(f)
-            self._requests = {k: list(v) for k, v in payload.get("requests", {}).items()}
+            now = self.clock()
+            self._requests = {
+                k: deque(v) for k, v in payload.get("requests", {}).items()
+            }
+            # the 60s window is derived state: rebuild it from the tail
+            self._minute = {
+                k: deque(t for t in v if t > now - 60.0)
+                for k, v in self._requests.items()
+            }
             self._costs = dict(payload.get("costs", {}))
             self._tokens = dict(payload.get("tokens", {}))
         except (OSError, json.JSONDecodeError, TypeError):
