@@ -34,10 +34,13 @@ def _err(msg: str) -> str:
 def _latin_preprocess(image: np.ndarray, settings: dict) -> np.ndarray:
     """Binarize via the jitted preprocessing graph for Latin OCR engines.
 
-    The Vertical/Horizontal 90° rule is applied HOST-SIDE (the frame swaps
-    h/w, like the reference's ``cv2.rotate``) — the in-graph rotation keeps
-    the static frame and would clip a wide crop rotated to vertical.  The
-    graph then only runs skew detection (Auto) or none."""
+    Orientation passes straight through to the graph: the reference's Latin
+    path (``preprocess_for_ocr``, ``main_window.py:4204-4232``) rotates
+    +90° CCW *in the same (w, h) frame* (``warpAffine`` clips a wide crop)
+    for "Vertical" when w > h, and applies NO rotation for "Horizontal" —
+    exactly what ``ocr_preprocess``'s branches implement
+    (``ops/preprocess.py``; ``rotate_image`` is CCW-positive and
+    cv2-parity-tested)."""
     import jax.numpy as jnp
 
     from manga_ocr_tpu.ops import preprocess as pp
@@ -49,8 +52,6 @@ def _latin_preprocess(image: np.ndarray, settings: dict) -> np.ndarray:
         "Vertical": pp.ORIENT_VERTICAL,
         "Horizontal": pp.ORIENT_HORIZONTAL,
     }.get(setting, pp.ORIENT_AUTO)
-    image = batching.orient_crop(image, orientation)
-    graph_orient = pp.ORIENT_AUTO if orientation == pp.ORIENT_AUTO else pp.ORIENT_NONE
     # Bucket-pad even the single crop: a raw (1, h, w, 3) call would compile
     # one XLA program per distinct crop shape (unbounded on a long-running
     # server); the bucket set bounds the shape count, and ``sizes`` masks the
@@ -58,7 +59,7 @@ def _latin_preprocess(image: np.ndarray, settings: dict) -> np.ndarray:
     # engine.ocr_page_dual).
     [batch] = batching.bucket_crops([image])
     out, _ = pp.ocr_preprocess(
-        jnp.asarray(batch.crops), orientation=graph_orient,
+        jnp.asarray(batch.crops), orientation=orientation,
         sizes=jnp.asarray(batch.sizes),
     )
     h, w = batch.sizes[0]

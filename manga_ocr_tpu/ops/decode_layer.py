@@ -43,10 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from manga_ocr_tpu.ops.kernel_utils import pick_group
+from manga_ocr_tpu.ops.kernel_utils import pick_group, NEG_INF, seg_matrix
 from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
 
-NEG_INF = -1e30
 
 
 def _ln32(x32, s_ref, b_ref, eps):
@@ -72,11 +71,7 @@ def _proj(h32, w_ref, s_ref, b_ref, int8: bool, dt):
     return y + b_ref[:]
 
 
-def _seg_matrix(heads: int, dh: int) -> jax.Array:
-    """[D, H] 0/1 matrix: column h selects head h's lanes."""
-    d = heads * dh
-    col = jnp.arange(d)[:, None] // dh  # head index per lane
-    return (col == jnp.arange(heads)[None, :]).astype(jnp.float32)
+
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +217,7 @@ def fused_self_attn_step(
         wqkv, sqkv, bqkv,
         wo, so, p["o"]["bias"].astype(jnp.float32),
         ln["scale"].astype(jnp.float32), ln["bias"].astype(jnp.float32),
-        _seg_matrix(num_heads, dh),
+        seg_matrix(num_heads, dh),
         cache_k, cache_v,
     )
 
@@ -360,6 +355,6 @@ def fused_cross_attn_step(
         wq, sq, p["q"]["bias"].astype(jnp.float32),
         wo, so, p["o"]["bias"].astype(jnp.float32),
         ln["scale"].astype(jnp.float32), ln["bias"].astype(jnp.float32),
-        _seg_matrix(num_heads, dh),
+        seg_matrix(num_heads, dh),
         cross_k, cross_v, k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
     )

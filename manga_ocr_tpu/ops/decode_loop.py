@@ -50,12 +50,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from manga_ocr_tpu.ops.kernel_utils import gelu_fn as _gelu_fn
+from manga_ocr_tpu.ops.kernel_utils import gelu_fn as _gelu_fn, NEG_INF, seg_matrix
 from manga_ocr_tpu.ops.kernel_utils import ln32 as _ln32
 from manga_ocr_tpu.ops.kernel_utils import pick_group
 from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
 
-NEG_INF = -1e30
 # Head vocab-matmul tile.  The greedy head's argmax runs as a chain of
 # per-tile (matmul, max, argmax, select) updates — each tile is a serial
 # dependency in the step's latency chain, so at small g (logits [g, tile]
@@ -64,10 +63,7 @@ NEG_INF = -1e30
 VOCAB_TILE = 512
 
 
-def _seg_matrix(heads: int, dh: int) -> jax.Array:
-    d = heads * dh
-    col = jnp.arange(d)[:, None] // dh
-    return (col == jnp.arange(heads)[None, :]).astype(jnp.float32)
+
 
 
 def _proj(h32, w, s, b, int8: bool, dt):
@@ -666,7 +662,7 @@ def greedy_decode_loop(
         head["transform"]["ln"]["bias"].astype(jnp.float32),
         head["proj"]["kernel"].astype(dt),
         head["proj"]["bias"].astype(jnp.float32),
-        _seg_matrix(cfg.num_heads, cfg.head_dim),
+        seg_matrix(cfg.num_heads, cfg.head_dim),
     )
 
     crosses = []

@@ -84,6 +84,8 @@ def fused_attention(
 ) -> jax.Array:
     """[B, H, S, dh] q/k/v -> [B, H, S, dh] attention output (full, unmasked
     except sequence padding)."""
+    # interpreter mode off-TPU, like every other kernel in this package
+    interpret = interpret or jax.default_backend() == "cpu"
     b, h, s, dh = q.shape
     sp = _pad_len(s)
     scale = 1.0 / (dh**0.5)

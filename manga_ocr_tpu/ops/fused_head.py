@@ -21,16 +21,9 @@ from jax.experimental.pallas import tpu as pltpu
 VOCAB_TILE = 512
 
 
-def _erf(x: jax.Array) -> jax.Array:
-    """Polynomial erf (A&S 7.1.26) in f32 — Pallas-TPU-lowerable."""
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+# erf lives in kernel_utils so a numerics fix lands once for every kernel
+# (op-for-op the same Horner chain — bit-identical, argmax parity preserved)
+from manga_ocr_tpu.ops.kernel_utils import erf_poly as _erf
 
 
 def _head_kernel(

@@ -75,3 +75,17 @@ def pick_group(b: int, group: int) -> int:
     while b % group:
         group //= 2
     return group
+
+
+# Large-negative mask value shared by the decode kernels' masked softmaxes
+# (f32-safe: exp(NEG_INF - max) flushes to 0 without inf/nan arithmetic).
+NEG_INF = -1e30
+
+
+def seg_matrix(heads: int, dh: int) -> jax.Array:
+    """[D, H] 0/1 matrix: column h selects head h's lanes.  The matmul-based
+    per-head reduction that works around Mosaic's broken gather at
+    head_dim 96 — shared by the fused decode step and loop kernels."""
+    d = heads * dh
+    col = jnp.arange(d)[:, None] // dh  # head index per lane
+    return (col == jnp.arange(heads)[None, :]).astype(jnp.float32)

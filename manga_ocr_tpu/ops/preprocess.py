@@ -31,12 +31,18 @@ import jax.numpy as jnp
 
 from manga_ocr_tpu.ops import image as im
 
-# Orientation modes (reference settings values).  Rotation itself is applied
-# host-side per crop (see parallel.batching.orient_crop); these constants
-# select the rule.
+# Orientation modes (reference settings values).  The reference has TWO
+# distinct rotation rules selected by these constants, and both are kept:
+# - Manga-OCR crop prep (workers.py:318-327): frame-SWAPPING cv2.rotate,
+#   Vertical & w>h -> 90 CW, Horizontal & h>w -> 90 CCW — applied host-side
+#   per crop (parallel.batching.orient_crop) because it changes the shape.
+# - Latin-engine preprocess (main_window.py:4225-4232): +90 CCW via
+#   warpAffine *in the same (w, h) frame* (clips a wide crop) for Vertical
+#   & w>h, NO rotation for Horizontal — implemented by ocr_preprocess's
+#   in-graph branches below (rotate_image is CCW-positive like cv2).
 ORIENT_AUTO = 0  # "Auto-Detect": skew correction from pixel moments
-ORIENT_VERTICAL = 1  # rotate 90 CW when wider than tall
-ORIENT_HORIZONTAL = 2  # rotate 90 CCW when taller than wide
+ORIENT_VERTICAL = 1
+ORIENT_HORIZONTAL = 2
 ORIENT_NONE = 3
 
 
@@ -93,7 +99,14 @@ def ocr_preprocess(
         angles = jnp.where(wide, 90.0, 0.0).astype(jnp.float32)
     else:
         angles = jnp.zeros((b,), jnp.float32)
-    rotated = im.rotate_image(gray, angles, interpolation="cubic", sizes=sizes)
+    if orientation in (ORIENT_NONE, ORIENT_HORIZONTAL):
+        # angles are statically zero and zero-angle bicubic rotation is a
+        # bit-exact identity (integer source coords, t=0 -> weights
+        # (0,1,0,0); test_rotate_zero_angle_is_identity) — skip the 16
+        # vmapped gathers per pixel
+        rotated = gray
+    else:
+        rotated = im.rotate_image(gray, angles, interpolation="cubic", sizes=sizes)
     eq = im.equalize_hist_u8(rotated, mask)
     blurred = im.gaussian_blur3_u8(eq, sizes)
     binary = im.otsu_binarize(blurred, mask)

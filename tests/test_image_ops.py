@@ -130,3 +130,21 @@ def test_skew_correction_recovers_synthetic_rotation():
         im.normalize_skew_angle(im.orientation_angle_moments(jnp.asarray(rot[None])))
     )[0]
     assert abs(ang - 8.0) < 2.0  # corrective angle ~ +8 deg
+
+
+def test_rotate_zero_angle_is_identity():
+    """Zero-angle bicubic rotation is bit-exact identity — the invariant
+    behind ocr_preprocess skipping rotation for static-zero orientations."""
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, size=(3, 40, 56)).astype(np.uint8)
+    out = np.asarray(
+        im.rotate_image(jnp.asarray(x), jnp.zeros((3,), jnp.float32), interpolation="cubic")
+    )
+    np.testing.assert_array_equal(out, x)
+    sizes = jnp.asarray([[40, 56], [30, 20], [12, 56]], jnp.int32)
+    out2 = np.asarray(
+        im.rotate_image(
+            jnp.asarray(x), jnp.zeros((3,), jnp.float32), interpolation="cubic", sizes=sizes
+        )
+    )
+    np.testing.assert_array_equal(out2, x)
