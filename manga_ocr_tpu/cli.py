@@ -59,8 +59,6 @@ def _build_engine(args):
 
 
 def cmd_ocr(args) -> int:
-    import numpy as np
-
     from manga_ocr_tpu.core import files as fio
 
     engine = _build_engine(args)
@@ -81,8 +79,6 @@ def cmd_ocr(args) -> int:
 
 
 def cmd_process(args) -> int:
-    import numpy as np
-
     from manga_ocr_tpu.core import files as fio
     from manga_ocr_tpu.core.geometry import Rect
     from manga_ocr_tpu.core.project import Project, save_project
@@ -101,7 +97,6 @@ def cmd_process(args) -> int:
     det_ckpt = args.detector or settings.get("tpu.detector_checkpoint")
     if det_ckpt and os.path.exists(det_ckpt):
         if args.detector_type == "yolo":
-            from manga_ocr_tpu.detect import contours as cont
             from manga_ocr_tpu.models import yolo_seg
 
             cfg_y = yolo_seg.YoloSegConfig()
@@ -147,17 +142,19 @@ def cmd_process(args) -> int:
     if not pages:
         print(f"no images found in {args.folder}", file=sys.stderr)
         return 1
+    # one snapshot for the whole run — as_dict() deep-copies the settings
+    # tree, so per-job copies were pure waste (settings don't change here)
+    settings_dict = settings.as_dict()
     for path in pages:
         page = fio.safe_open_image(path)
         if page is None:
             continue
         if detector is not None:
             detections = detector.detect_bubbles(page)
-            job_settings = settings.as_dict()
             # auto_split_bubbles is a per-job UI-checkbox key in the
             # reference (get_current_settings, main_window.py:4946), not a
             # settings.json key — the CLI flag is the checkbox analog
-            if job_settings.get("auto_split_bubbles", not args.no_split_bubbles):
+            if settings_dict.get("auto_split_bubbles", not args.no_split_bubbles):
                 from manga_ocr_tpu.detect import postprocess as _post
 
                 detections = _post.split_extended_bubbles(detections)
@@ -169,7 +166,7 @@ def cmd_process(args) -> int:
             detections = [{"polygon": polygon_from_rect(Rect(0, 0, w, h)), "text": None}]
         crops, metas = crops_from_detections(page, detections)
         jobs = [
-            OcrJob(path, m["rect"], m["polygon"], crop, settings.as_dict(), m["text"])
+            OcrJob(path, m["rect"], m["polygon"], crop, settings_dict, m["text"])
             for crop, m in zip(crops, metas)
         ]
         results = pipe.process_jobs(jobs, enhanced=args.enhanced or None)

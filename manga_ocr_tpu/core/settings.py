@@ -21,7 +21,7 @@ from typing import Any
 
 def default_settings() -> dict:
     if sys.platform.startswith("win"):
-        default_tess = r"C:\\Program Files\\Tesseract-OCR\\tesseract.exe"
+        default_tess = r"C:\Program Files\Tesseract-OCR\tesseract.exe"
     elif sys.platform.startswith("darwin"):
         default_tess = "/usr/local/bin/tesseract"
     else:

@@ -125,12 +125,20 @@ def evaluate(engine, fixtures: list) -> dict:
     rest = [i for i in range(len(fixtures)) if i not in hyps]
     for orientation in sorted({fixtures[i]["orientation"] for i in rest}):
         idxs = [i for i in rest if fixtures[i]["orientation"] == orientation]
+        # Probe the signature up front: catching TypeError around the call
+        # itself would also swallow genuine TypeErrors raised inside OCR and
+        # silently rescore under the default orientation.
+        import inspect
+
         try:
-            out = engine.ocr_page(
-                [fixtures[i]["crop"] for i in idxs], _orient_code(orientation)
-            )
-        except TypeError:  # legacy single-arg ocr_page
-            out = engine.ocr_page([fixtures[i]["crop"] for i in idxs])
+            takes_orient = len(inspect.signature(engine.ocr_page).parameters) >= 2
+        except (TypeError, ValueError):
+            takes_orient = True
+        crops = [fixtures[i]["crop"] for i in idxs]
+        if takes_orient:
+            out = engine.ocr_page(crops, _orient_code(orientation))
+        else:  # legacy single-arg ocr_page
+            out = engine.ocr_page(crops)
         hyps.update(dict(zip(idxs, out)))
 
     cers, exact, per_item = [], 0, []

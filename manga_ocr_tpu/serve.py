@@ -20,6 +20,7 @@ import base64
 import io
 import json
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -99,8 +100,16 @@ def make_handler(service: OcrService):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
-            if length > MAX_REQUEST_BYTES:
+            # Validate Content-Length ourselves: a negative value would
+            # bypass the size cap (read(-1) = until EOF, unbounded buffering
+            # on an unauthenticated endpoint) and a malformed one would
+            # escape as an uncaught ValueError.
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._reply(400, {"error": "invalid Content-Length"})
+                return
+            if length < 0 or length > MAX_REQUEST_BYTES:
                 self._reply(413, {"error": f"request too large (> {MAX_REQUEST_BYTES} bytes)"})
                 return
             data = self.rfile.read(length)
@@ -113,7 +122,9 @@ def make_handler(service: OcrService):
                     self._reply(200, {"texts": texts})
                 else:
                     self._reply(404, {"error": "not found"})
-            except TimeoutError as e:
+            except (TimeoutError, FuturesTimeout) as e:
+                # concurrent.futures.TimeoutError only aliases the builtin
+                # from 3.11; catch both for 3.10
                 self._reply(503, {"error": f"busy/compiling: {e}"})
             except Exception as e:
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})

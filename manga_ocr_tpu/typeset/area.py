@@ -121,7 +121,11 @@ class TypesetArea:
             "segments": copy.deepcopy(self.segments or []),
             "bubble_fill": self.bubble_fill or "#ffffff",
             "bubble_outline": self.bubble_outline or "#000000",
-            "bubble_outline_width": float(self.bubble_outline_width or 3.0),
+            # NB: 0.0 is a legitimate "no outline" width — default only when
+            # unset, or save/load would resurrect a removed outline
+            "bubble_outline_width": float(
+                3.0 if self.bubble_outline_width is None else self.bubble_outline_width
+            ),
             "text_outline": bool(self.text_outline),
             "text_outline_width": float(self.text_outline_width),
             "text_outline_color": _sanitize_color(self.text_outline_color),

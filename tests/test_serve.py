@@ -87,3 +87,33 @@ def test_stats_counts(server):
         body = json.loads(resp.read())
     assert body["ocr_total"] >= 1
     assert "ocr_request" in body["stages"]
+
+
+def test_negative_content_length_rejected(server):
+    """A negative Content-Length must not bypass the request-size cap
+    (read(-1) would buffer until EOF on an unauthenticated endpoint)."""
+    import http.client
+    import urllib.parse
+
+    u = urllib.parse.urlparse(server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    conn.putrequest("POST", "/ocr", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 413
+    conn.close()
+
+
+def test_malformed_content_length_is_400(server):
+    import http.client
+    import urllib.parse
+
+    u = urllib.parse.urlparse(server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=30)
+    conn.putrequest("POST", "/ocr", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "abc")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()

@@ -166,3 +166,14 @@ def test_effect_offsets():
     assert _effect_offset("jagged", 0.1, 5, 0) == -5
     assert _effect_offset("jagged", 0.1, 5, 1) == 5
     assert _effect_offset("none", 0.5, 10, 0) == 0.0
+
+
+def test_zero_outline_width_roundtrips():
+    """bubble_outline_width=0.0 (outline removed) must survive save/load
+    (regression: falsy-zero default resurrection)."""
+    area = TypesetArea(
+        Rect(0, 0, 10, 10), "t", bubble_enabled=True, bubble_outline_width=0.0
+    )
+    p = area.to_payload()
+    assert p["bubble_outline_width"] == 0.0
+    assert TypesetArea.from_payload(p).bubble_outline_width == 0.0
