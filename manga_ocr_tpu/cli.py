@@ -51,8 +51,18 @@ def _build_engine(args):
         cfg = MangaOCRConfig.base()
         params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         tok = CharTokenizer.synthetic()
+    mesh = None
+    n_data = int(getattr(args, "mesh_data", 0) or 0)
+    if n_data > 1:
+        # data-parallel serving: params replicated, crop batches sharded on
+        # the data axis; the fused serving kernels run per shard (SURVEY
+        # §5.8 — validated by dryrun_multichip / tests/test_engine_mesh.py)
+        from manga_ocr_tpu.parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(n_data)
     return TpuMangaOcrEngine(
         params, cfg, tok, max_length=args.max_length, dtype=jnp.bfloat16,
+        mesh=mesh,
         wire=getattr(args, "wire", "gray"),
         coalesce=not getattr(args, "no_coalesce", False),
     )
@@ -210,6 +220,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="disable single-transfer/single-readback coalescing of "
         "multi-bucket pages (debugging/measurement aid)",
+    )
+    p.add_argument(
+        "--mesh-data",
+        type=int,
+        default=0,
+        help="shard crop batches over N devices (data-parallel serving; "
+        "0/1 = single chip)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -164,6 +164,10 @@ def main(argv=None) -> int:
         "--no-coalesce", action="store_true",
         help="disable multi-bucket page coalescing (see cli.py --no-coalesce)",
     )
+    p.add_argument(
+        "--mesh-data", type=int, default=0,
+        help="shard crop batches over N devices (see cli.py --mesh-data)",
+    )
     p.add_argument("--window-ms", type=float, default=10.0)
     args = p.parse_args(argv)
 

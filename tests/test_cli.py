@@ -79,3 +79,20 @@ def test_bench_shim_and_module_agree():
     assert shim.MAX_NEW_TOKENS is benchmark.MAX_NEW_TOKENS
     assert shim.BATCH_SIZES is benchmark.BATCH_SIZES
     assert shim.NORTH_STAR is benchmark.NORTH_STAR
+
+
+def test_cli_mesh_data_flag_builds_sharded_engine(tmp_path, monkeypatch, capsys):
+    """--mesh-data N wires a data-parallel mesh into the engine — exercised
+    end-to-end on the 8-device virtual CPU mesh (conftest)."""
+    from PIL import Image
+
+    from manga_ocr_tpu import cli
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+
+    # tiny model through the REAL _build_engine (mesh logic included)
+    monkeypatch.setattr(MangaOCRConfig, "base", staticmethod(MangaOCRConfig.tiny))
+    img = tmp_path / "crop.png"
+    Image.fromarray(np.full((40, 60, 3), 210, np.uint8)).save(img)
+    rc = cli.main(["--mesh-data", "8", "--max-length", "8", "ocr", str(img)])
+    assert rc == 0
+    assert str(img) in capsys.readouterr().out
