@@ -33,9 +33,6 @@ from manga_ocr_tpu.models.tokenizer import CharTokenizer
 from manga_ocr_tpu.ops import preprocess as pp
 from manga_ocr_tpu.parallel import batching
 
-# Sentinel error strings (reference contract: checked with str.startswith)
-ERR_NOT_INITIALIZED = "[ERROR: Manga-OCR not installed or initialized]"
-
 
 def _stage_fn(timer):
     """StageTimer adapter: ``None`` timer -> no-op context factory."""
@@ -58,8 +55,24 @@ def _err(msg: str) -> str:
 # pages through the tunnel (docs/PERF.md round-3 coalesce A/B) — the
 # concat itself is a trivial int32 copy.  jax.jit keys on the argument
 # shapes, so each distinct per-page bucket split compiles its own
-# (seconds-cheap) gather program.
-_concat_rows = jax.jit(lambda *arrs: jnp.concatenate(arrs, axis=0))
+# (seconds-cheap) program — bounded like ``_unpack_fns``: a long-running
+# server must not accumulate one resident executable per split signature
+# forever (dropping the wrapper releases its compiled cache).
+_concat_fns: dict = {}
+_concat_lock = threading.Lock()
+
+
+def _concat_rows(*arrs):
+    key = tuple(a.shape for a in arrs)
+    with _concat_lock:
+        fn = _concat_fns.get(key)
+        if fn is None:
+            if len(_concat_fns) >= 64:
+                _concat_fns.clear()
+            fn = _concat_fns.setdefault(
+                key, jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
+            )
+    return fn(*arrs)
 
 
 class TpuMangaOcrEngine:
@@ -166,35 +179,19 @@ class TpuMangaOcrEngine:
         if quantize_int8 is None:
             quantize_int8 = serving_kernels
         if serving_kernels:
-            # NB: the fused decode-STEP kernels (ops/decode_layer.py) and the
-            # in-loop greedy head stay OFF here: measured 2.7x slower than
-            # the XLA step at B=256 (docs/PERF.md round-2 decode probes).
-            # The whole-decode-LOOP kernel (ops/decode_loop.py) is ON: the
-            # entire greedy loop in one Pallas call, 0.58 vs 0.89 ms/token
-            # slope-timed, with block-granular EOS early exit (round 3).
-            cfg = _dc.replace(
-                cfg,
-                encoder=_dc.replace(
-                    cfg.encoder,
-                    mlp_kernel="fused",
-                    attn_kernel="fused_layer" if quantize_int8 else "packed",
-                    # sigmoid GELU's ~0.02 error sits below the int8
-                    # activation quantization step; keep exact erf for the
-                    # unquantized path
-                    gelu_mode="sigmoid" if quantize_int8 else "erf",
-                ),
-                decoder=_dc.replace(
-                    cfg.decoder,
-                    cross_kv_int8=quantize_int8,
-                    step_kernel="fused_loop",
-                ),
-            )
+            # The serving kernel flags come from the ONE shared transform
+            # (config.with_serving_kernels — also behind
+            # MangaOCRConfig.serving()): an engine-local copy previously
+            # drifted and silently lost seq_pad_to/head_phased, costing
+            # production engines the measured encoder/head optimizations.
+            from manga_ocr_tpu.models.config import with_serving_kernels
+
+            cfg = with_serving_kernels(cfg, quantized=bool(quantize_int8))
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_length = max_length or cfg.max_length
         self.dtype = dtype
         self.mesh = mesh
-        self.params = mdl.cast_params(params, dtype)
         if serving_kernels and quantize_int8:
             from manga_ocr_tpu.models.quantize import quantize_encoder
 
@@ -202,18 +199,22 @@ class TpuMangaOcrEngine:
             # f32 scales are preserved, every other float leaf goes to dtype.
             # Decoder weights stay unquantized: the serving decode path is
             # the whole-loop kernel (step_kernel="fused_loop" above), which
-            # consumes bf16 weights + int8 cross-KV; only the flag-gated
-            # fused-STEP kernels (ops/decode_layer.py, off here — measured
-            # slower, docs/PERF.md) take models.quantize.quantize_decoder
-            # output.
-            decoder_params = self.params["decoder"]
+            # runs bf16 weights AND bf16 cross-KV slabs (it ignores
+            # cross_kv_int8 — that flag affects only the XLA-step fallback
+            # paths); only the flag-gated fused-STEP kernels
+            # (ops/decode_layer.py, off here — measured slower, docs/PERF.md)
+            # take models.quantize.quantize_decoder output.  Only the
+            # decoder subtree is cast here — casting the full tree first
+            # would bf16 all ~86M encoder params and then discard them.
             self.params = {
                 "encoder": _cast_quantized(
                     quantize_encoder(params["encoder"], quantize_attn_proj=True),
                     dtype,
                 ),
-                "decoder": decoder_params,
+                "decoder": mdl.cast_params(params["decoder"], dtype),
             }
+        else:
+            self.params = mdl.cast_params(params, dtype)
         self._serving_kernels = serving_kernels
         if mesh is not None:
             from manga_ocr_tpu.parallel import mesh as meshlib
@@ -566,6 +567,7 @@ class TpuMangaOcrEngine:
         crops: Sequence[np.ndarray],
         orientation: int = pp.ORIENT_AUTO,
         second_engine=None,
+        settings: dict | None = None,
     ) -> list[tuple[str, str]]:
         """Enhanced dual-pass (SURVEY §2.4 #29; ``workers.py:383-420``):
         the raw crop goes to Manga-OCR under the "Auto-Detect" orientation
@@ -598,8 +600,11 @@ class TpuMangaOcrEngine:
         pre = batching.scatter_results(pre_batches, pre_results)
         if second_engine is not None:
             raw_texts = self.ocr_page(crops, orientation)
-            # the reference forces Tesseract with Japanese for this pass
+            # the reference forces Tesseract with Japanese for this pass ON
+            # TOP of the caller's settings ({**settings, ...} —
+            # workers.py:399-403): orientation/tesseract knobs pass through
             tess_settings = {
+                **(settings or {}),
                 "ocr_engine": "Tesseract",
                 "ocr_lang": "jpn",
                 "tesseract_lang": "jpn",
@@ -727,13 +732,18 @@ def _cast_quantized(tree, dtype):
 
 
 def _orientation_from_settings(settings: dict | None) -> int:
-    """Map the reference's orientation setting strings to preprocess modes."""
+    """Map the reference's orientation setting strings to preprocess modes.
+
+    Missing/unrecognized values default to Auto-Detect, which applies NO
+    rotation on this path — the reference's ``perform_ocr`` defaults
+    ``settings.get('orientation', 'Auto-Detect')`` and rotates only on
+    exact "Vertical"/"Horizontal" matches (``main_window.py:9782,9790-9795``)."""
     if not settings:
-        return pp.ORIENT_VERTICAL
-    val = str(settings.get("orientation", "Vertical"))
+        return pp.ORIENT_AUTO
+    val = str(settings.get("orientation", "Auto-Detect"))
     return {
         "Vertical": pp.ORIENT_VERTICAL,
         "Horizontal": pp.ORIENT_HORIZONTAL,
         "Auto-Detect": pp.ORIENT_AUTO,
         "None": pp.ORIENT_NONE,
-    }.get(val, pp.ORIENT_VERTICAL)
+    }.get(val, pp.ORIENT_AUTO)

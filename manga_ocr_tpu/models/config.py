@@ -194,40 +194,7 @@ class MangaOCRConfig:
         GELU exactly as ``TpuMangaOcrEngine`` does: the ~0.02 abs error is
         below the int8 per-row activation quantization step, but callers
         serving unquantized bf16/f32 params keep exact erf."""
-        base = MangaOCRConfig.base()
-        return dataclasses.replace(
-            base,
-            encoder=dataclasses.replace(
-                base.encoder,
-                mlp_kernel="fused",
-                attn_kernel="fused_layer" if quantized else "packed",
-                # fast VPU GELU: 2.05 -> 1.04 ms/layer, error below the int8
-                # activation quantization step (token parity tested)
-                gelu_mode="sigmoid" if quantized else "erf",
-                # 8-aligned token dim through the fused stack: relayouts
-                # become bitcasts, kernel blocks align — 12-layer stack
-                # 54.7 → 37.0 ms in-context (scripts/perf_r3_pad.py)
-                seq_pad_to=200 if quantized else 0,
-            ),
-            decoder=dataclasses.replace(
-                base.decoder,
-                cross_kv_int8=quantized,
-                # whole-loop decode kernel: 0.58 vs 0.89 ms/token slope-timed
-                # (docs/PERF.md round 3); ignores cross_kv_int8 (bf16 slabs)
-                step_kernel="fused_loop",
-                # phased greedy head: all vocab-tile matmuls emitted before
-                # a tree (max, argmax) reduction — -0.7 ms/dispatch measured
-                # (scripts/perf_decode_chains.py); token-parity-tested
-                head_phased=True,
-                # fuse_cross_kv stays OFF: measured exactly neutral e2e on
-                # the real chip (60.42 -> 60.42 ms at B=256 — the ~1.6 ms
-                # XLA tail it removes was already hidden under the decode
-                # kernel's warm-up DMA), and the in-kernel slab matmuls'
-                # different accumulation order costs exact token parity on
-                # random weights (docs/PERF.md round 3).  Flag kept for
-                # runtimes where program-boundary gaps are expensive.
-            ),
-        )
+        return with_serving_kernels(MangaOCRConfig.base(), quantized)
 
     @staticmethod
     def tiny(vocab_size: int = 100) -> "MangaOCRConfig":
@@ -287,3 +254,49 @@ class MangaOCRConfig:
     def from_json_file(path: str) -> "MangaOCRConfig":
         with open(path) as f:
             return MangaOCRConfig.from_hf_config(json.load(f))
+
+
+def with_serving_kernels(cfg: "MangaOCRConfig", quantized: bool = True) -> "MangaOCRConfig":
+    """Apply the fused-TPU-serving kernel flags to ANY config (base or
+    from_hf_config) — the ONE place the serving configuration is defined,
+    used by both ``MangaOCRConfig.serving()`` and ``TpuMangaOcrEngine``
+    so the two can never drift (an earlier engine-side copy silently lost
+    ``seq_pad_to``/``head_phased``)."""
+    return dataclasses.replace(
+        cfg,
+        encoder=dataclasses.replace(
+            cfg.encoder,
+            mlp_kernel="fused",
+            attn_kernel="fused_layer" if quantized else "packed",
+            # fast VPU GELU: 2.05 -> 1.04 ms/layer, error below the int8
+            # activation quantization step (token parity tested); exact erf
+            # kept for unquantized params
+            gelu_mode="sigmoid" if quantized else "erf",
+            # 8-aligned token dim through the fused stack: relayouts become
+            # bitcasts, kernel blocks align — 12-layer stack 54.7 -> 37.0 ms
+            # in-context (scripts/perf_r3_pad.py)
+            seq_pad_to=_pad_seq(cfg.encoder.seq_len) if quantized else 0,
+        ),
+        decoder=dataclasses.replace(
+            cfg.decoder,
+            cross_kv_int8=quantized,
+            # whole-loop decode kernel: 0.58 vs 0.89 ms/token slope-timed
+            # (docs/PERF.md round 3); NB it decodes with bf16 cross-KV slabs
+            # regardless of cross_kv_int8 (the flag affects only the
+            # XLA-step fallback paths)
+            step_kernel="fused_loop",
+            # phased greedy head: all vocab-tile matmuls emitted before a
+            # tree (max, argmax) reduction — -0.7 ms/dispatch measured
+            # (scripts/perf_decode_chains.py); token-parity-tested
+            head_phased=True,
+            # fuse_cross_kv stays OFF: measured exactly neutral e2e on the
+            # real chip and costs exact token parity (docs/PERF.md round 3)
+        ),
+    )
+
+
+def _pad_seq(seq_len: int) -> int:
+    """Next multiple of 8 ≥ seq_len (ViT-base: 197 -> 200 — the measured
+    sublane-alignment optimum, scripts/perf_r3_pad.py; already-aligned or
+    tiny-config lengths pass through unchanged)."""
+    return ((seq_len + 7) // 8) * 8

@@ -164,7 +164,7 @@ def ocr_forward(
 
         ecfg = cfg.encoder
         enc_raw = vit.encode(params["encoder"], pixel_values, ecfg, raw_padded=True)
-        s_valid = (ecfg.image_size // ecfg.patch_size) ** 2 + 1
+        s_valid = ecfg.seq_len  # patches + CLS (the one definition)
         max_len = max_length or cfg.max_length
         tokens, lengths = greedy_decode_loop(
             params["decoder"], None, dcfg, steps=max_len - 1,

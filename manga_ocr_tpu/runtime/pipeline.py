@@ -242,7 +242,24 @@ class PagePipeline:
         if need_ocr:
             crops = [jobs[i].cropped_image for i in need_ocr]
             if enhanced and self.dual_pass is not None:
-                pairs = self.dual_pass(crops)
+                # forward the jobs' settings when the dual-pass callable
+                # takes them (the reference merges {**settings, ...} into
+                # the second pass — workers.py:399-403); probed via
+                # signature, not try/except, so real TypeErrors surface
+                import inspect
+
+                try:
+                    takes_settings = "settings" in inspect.signature(
+                        self.dual_pass
+                    ).parameters
+                except (TypeError, ValueError):
+                    takes_settings = False
+                if takes_settings:
+                    pairs = self.dual_pass(
+                        crops, settings=jobs[need_ocr[0]].settings or {}
+                    )
+                else:
+                    pairs = self.dual_pass(crops)
                 for i, (raw, pre) in zip(need_ocr, pairs):
                     # longer text wins as the display original (workers.py:404)
                     originals[i] = raw if len(raw) >= len(pre) else pre

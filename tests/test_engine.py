@@ -420,3 +420,55 @@ def test_registry_available_engines_uses_probe_without_constructing():
     reg.register_lazy("Absent", heavy, probe=lambda: False)
     assert reg.available_engines() == ["Heavy"]
     assert constructed == []  # listing must not construct (downloads!)
+
+
+def test_engine_serving_cfg_matches_config_serving():
+    """The engine's serving flags must come from the ONE shared transform
+    (regression: an engine-local copy drifted and lost seq_pad_to /
+    head_phased, running production engines slower than the benchmark)."""
+    from manga_ocr_tpu.models.config import with_serving_kernels
+
+    cfg = MangaOCRConfig.tiny()
+    params = mdl.init_params(cfg, jax.random.PRNGKey(0))
+    eng = TpuMangaOcrEngine(
+        params, cfg, CharTokenizer.synthetic(), max_length=8
+    )
+    assert eng.cfg == with_serving_kernels(cfg, quantized=True)
+    assert eng.cfg.decoder.head_phased
+    assert eng.cfg.encoder.seq_pad_to == (cfg.encoder.seq_len + 7) // 8 * 8
+    # and the public serving() preset is that same transform over base()
+    assert MangaOCRConfig.serving() == with_serving_kernels(
+        MangaOCRConfig.base(), True
+    )
+
+
+def test_orientation_default_matches_reference():
+    """Missing/unknown orientation applies NO rotation (reference defaults
+    'Auto-Detect' and rotates only on exact matches — main_window.py:9782)."""
+    from manga_ocr_tpu.engine.engine import _orientation_from_settings
+    from manga_ocr_tpu.ops import preprocess as pp
+
+    assert _orientation_from_settings(None) == pp.ORIENT_AUTO
+    assert _orientation_from_settings({}) == pp.ORIENT_AUTO
+    assert _orientation_from_settings({"orientation": "vertical"}) == pp.ORIENT_AUTO
+    assert _orientation_from_settings({"orientation": "Vertical"}) == pp.ORIENT_VERTICAL
+    assert _orientation_from_settings({"orientation": "Horizontal"}) == pp.ORIENT_HORIZONTAL
+
+
+def test_dual_pass_merges_caller_settings(engine):
+    """The second pass receives {**settings, Tesseract/jpn overrides} like
+    the reference's run_enhanced_pipeline (workers.py:399-403)."""
+    seen = []
+
+    class _Second:
+        def perform_ocr(self, img, settings=None):
+            seen.append(dict(settings or {}))
+            return "t"
+
+    engine.ocr_page_dual(
+        [_crop(40, 50, 9)], second_engine=_Second(),
+        settings={"orientation": "Vertical", "custom_knob": 7},
+    )
+    assert seen and seen[0]["ocr_engine"] == "Tesseract"
+    assert seen[0]["ocr_lang"] == "jpn" and seen[0]["tesseract_lang"] == "jpn"
+    assert seen[0]["orientation"] == "Vertical" and seen[0]["custom_knob"] == 7
