@@ -180,10 +180,9 @@ def load_hf_checkpoint(
     elif os.path.exists(bin_path):
         import torch
 
-        sd = {
-            k: v.detach().cpu().numpy()
-            for k, v in torch.load(bin_path, map_location="cpu", weights_only=True).items()
-        }
+        sd = torch_state_dict_to_numpy(
+            torch.load(bin_path, map_location="cpu", weights_only=True)
+        )
     else:
         raise FileNotFoundError(f"no model weights found under {path}")
     return convert_state_dict(sd, cfg, dtype), cfg

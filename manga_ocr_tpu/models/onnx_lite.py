@@ -83,6 +83,11 @@ def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
 
 
 def _write_varint(out: bytearray, v: int) -> None:
+    # Negative ints must be encoded as 64-bit two's complement (protobuf
+    # varint rule) — an arithmetic right shift on a negative value never
+    # reaches 0 and would loop forever (e.g. axis=-1 attributes).
+    if v < 0:
+        v &= (1 << 64) - 1
     while True:
         b = v & 0x7F
         v >>= 7
@@ -215,7 +220,18 @@ def _parse_tensor(buf: bytes) -> Tensor:
     elif int64_data:
         arr = np.asarray(int64_data, np.int64).reshape(dims)
     elif int32_data:
-        arr = np.asarray(int32_data, np.int32).reshape(dims)
+        if dtype == np.float16:
+            # ONNX stores fp16 initializers as uint16 BIT PATTERNS in
+            # int32_data — reinterpret, don't value-cast (0x3C00 is 1.0,
+            # not 15360.0)
+            arr = (
+                np.asarray(int32_data, np.uint32)
+                .astype(np.uint16)
+                .view(np.float16)
+                .reshape(dims)
+            )
+        else:
+            arr = np.asarray(int32_data, np.int32).reshape(dims)
     else:
         arr = np.zeros(dims, dtype)
     return Tensor(name, np.asarray(arr, dtype))

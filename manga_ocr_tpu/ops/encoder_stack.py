@@ -45,7 +45,7 @@ from manga_ocr_tpu.ops.kernel_utils import ln32 as _ln32
 from manga_ocr_tpu.ops.kernel_utils import pick_group
 from manga_ocr_tpu.ops.kernel_utils import quant_rows as _quant_rows
 
-NEG_INF = -1e30
+
 
 
 def _one_layer(

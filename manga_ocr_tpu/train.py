@@ -299,6 +299,31 @@ class Prefetcher:
 # ---------------------------------------------------------------------------
 
 
+def _shard_opt_state(opt_state, mesh: Mesh):
+    """Place a restored optimizer state onto the mesh: any state field whose
+    pytree mirrors the params (adam's mu/nu) gets the param shardings;
+    scalars (step counts) are replicated."""
+    shardings = meshlib.param_shardings(mesh)
+    repl = meshlib.replicated(mesh)
+
+    def place_state(s):
+        if hasattr(s, "_replace"):  # NamedTuple optax states
+            fields = {}
+            for name in s._fields:
+                v = getattr(s, name)
+                if isinstance(v, dict):  # param-shaped tree (mu / nu)
+                    v = jax.tree.map(jax.device_put, v, shardings)
+                elif isinstance(v, jax.Array):
+                    v = jax.device_put(v, repl)
+                fields[name] = v
+            return s._replace(**fields)
+        return s
+
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_replace"):
+        return tuple(place_state(s) for s in opt_state)
+    return place_state(opt_state)
+
+
 def save_train_state(path: str, params, opt_state, step: int, cfg: MangaOCRConfig):
     """Checkpoint params + optimizer state + step (npz store, resumable)."""
     import numpy as np
@@ -365,6 +390,11 @@ def train(
         params, opt_state, start, cfg = load_train_state(checkpoint_dir, optimizer)
         if mesh is not None:
             params = meshlib.shard_params(params, mesh)
+            # the restored adam moments mirror the param tree — place them
+            # with the SAME shardings, or the train step runs with sharded
+            # params against single-device moments (transfers each step;
+            # OOM for models that only fit sharded)
+            opt_state = _shard_opt_state(opt_state, mesh)
     else:
         params, opt_state = init_train_state(
             cfg, optimizer, jax.random.PRNGKey(seed), mesh,

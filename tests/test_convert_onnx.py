@@ -181,3 +181,30 @@ def test_tensor_parse_negative_varints():
     ol._write_field(buf, 8, 2, b"shape")
     t = ol._parse_tensor(bytes(buf))
     assert t.array.tolist() == [-1, 256]
+
+
+def test_negative_int_attribute_roundtrips():
+    """A negative scalar int attribute (axis=-1 — ubiquitous in ONNX) must
+    serialize as 64-bit two's complement (regression: the raw negative
+    value made _write_varint loop forever)."""
+    from manga_ocr_tpu.models import onnx_lite as ol
+
+    data = ol._ser_attribute("axis", -1)
+    a = ol._parse_attribute(bytes(data))
+    assert a.name == "axis" and a.i == -1
+
+
+def test_fp16_int32_data_is_bit_reinterpreted():
+    """fp16 initializers in int32_data are uint16 BIT PATTERNS (0x3C00 ==
+    1.0), not values (regression: value-cast produced 15360.0)."""
+    from manga_ocr_tpu.models import onnx_lite as ol
+
+    buf = bytearray()
+    ol._write_field(buf, 1, 0, 2)   # dims: 2
+    ol._write_field(buf, 2, 0, ol.DT_FLOAT16)
+    ol._write_field(buf, 5, 0, 0x3C00)  # int32_data: fp16 1.0
+    ol._write_field(buf, 5, 0, 0xC000)  # int32_data: fp16 -2.0
+    ol._write_field(buf, 8, 2, b"w")
+    t = ol._parse_tensor(bytes(buf))
+    assert t.array.dtype == np.float16
+    assert t.array.tolist() == [1.0, -2.0]

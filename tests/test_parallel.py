@@ -65,3 +65,39 @@ def test_sharded_inference_dp():
     fn = mdl.make_jitted_ocr(cfg, max_length=8)
     out = fn(params, px)
     assert out.tokens.shape == (16, 8)
+
+
+def test_resume_with_mesh_shards_opt_state(tmp_path):
+    """Resuming under a mesh must place the restored adam moments with the
+    param shardings (regression: params sharded, moments single-device)."""
+    from manga_ocr_tpu import train as trainlib
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.parallel import mesh as meshlib
+
+    cfg = MangaOCRConfig.tiny()
+    opt = trainlib.make_optimizer(lr=1e-3)
+    params, opt_state = trainlib.init_train_state(cfg, opt, jax.random.PRNGKey(0))
+    trainlib.save_train_state(str(tmp_path), params, opt_state, 3, cfg)
+
+    mesh = meshlib.make_mesh(4, 2)
+    p2, s2, step, _ = trainlib.load_train_state(str(tmp_path), opt)
+    p2 = meshlib.shard_params(p2, mesh)
+    s2 = trainlib._shard_opt_state(s2, mesh)
+    assert step == 3
+    ref_shardings = meshlib.param_shardings(mesh)
+    mu = s2[0].mu
+    leaf = mu["encoder"]["patch_embed"]["kernel"]
+    want = ref_shardings["encoder"]["patch_embed"]["kernel"]
+    assert leaf.sharding == want
+    # and one sharded train step runs from the restored state
+    step_fn = trainlib.make_train_step(cfg, opt, mesh)
+    img = cfg.encoder.image_size
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(4, cfg.decoder.vocab_size, size=(8, 6)).astype(np.int32)
+    batch = trainlib.TrainBatch(
+        jnp.asarray(rng.normal(size=(8, img, img, 3)).astype(np.float32)),
+        jnp.asarray(tokens),
+        jnp.ones((8, 6), jnp.float32),
+    )
+    p3, s3, loss = step_fn(p2, s2, batch)
+    assert np.isfinite(float(loss))
