@@ -75,6 +75,11 @@ def default_settings() -> dict:
             "max_decode_length": 300,
             "microbatch_window_ms": 10,
             "mesh": {"data": -1, "model": 1},  # -1 = all remaining devices
+            # TPU-native Latin engine (engine/latin.py): torch .pth
+            # checkpoints converted at load time (models/convert_latin.py)
+            "latin_craft_checkpoint": "",
+            "latin_crnn_checkpoint": "",
+            "latin_charset": "",  # "" = engine default charset
         },
     }
 

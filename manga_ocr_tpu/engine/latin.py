@@ -1,0 +1,239 @@
+"""TPU-native Latin OCR engine (CRAFT detect → CTC recognize, batched).
+
+The reference covers Latin text via pip black boxes (EasyOCR et al.,
+engine dispatch ``/root/reference/src/ui/main_window.py:9805-9919``) —
+one torch call per image.  This engine runs the same two-model pipeline
+(``models/craft.py`` + ``models/crnn.py``) the TPU way:
+
+- the detector runs on size-bucketed padded images (one jitted dispatch per
+  bucket, compile-once shapes),
+- ALL detected line crops across the image batch to shape-bucketed
+  recognizer batches — one recognizer dispatch per width bucket, not one
+  per line,
+- host work is limited to box extraction (data-dependent) and CTC decode.
+
+Weights: EasyOCR's published checkpoints convert via
+``models/convert_latin.py``; without converted weights the engine still
+exposes the full contract (useful for tests and for fine-tuned local
+checkpoints via ``train_latin``-style flows).
+
+Engine contract: ``perform_ocr(bgr, settings) -> str`` with the reference's
+sentinel error strings, matching every other engine in
+``engine/registry.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from manga_ocr_tpu.detect import craft_boxes
+from manga_ocr_tpu.models import craft as craft_mod
+from manga_ocr_tpu.models import crnn as crnn_mod
+
+# Default charset: blank(0) + these characters in order.  A converted
+# checkpoint's training charset MUST be passed explicitly (the class-count
+# check below catches mismatches); this default exists for tests and for
+# models fine-tuned locally against it.
+DEFAULT_CHARSET = (
+    "0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ "
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
+_DET_BUCKETS = (256, 512, 768, 1024)  # square pads, multiples of 16
+_REC_WIDTH_BUCKETS = (64, 128, 256, 512)
+
+
+def _round_up(v: int, buckets: tuple) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    return buckets[-1]
+
+
+class TpuLatinEngine:
+    """CRAFT + CTC recognizer as one batched engine."""
+
+    def __init__(
+        self,
+        craft_params: dict | None = None,
+        crnn_params: dict | None = None,
+        charset: str = DEFAULT_CHARSET,
+        craft_cfg: craft_mod.CraftConfig | None = None,
+        crnn_cfg: crnn_mod.CrnnConfig | None = None,
+        det_buckets: tuple = _DET_BUCKETS,
+        rec_width_buckets: tuple = _REC_WIDTH_BUCKETS,
+    ):
+        import jax
+
+        self.craft_cfg = craft_cfg or craft_mod.CraftConfig()
+        self.crnn_cfg = crnn_cfg or crnn_mod.CrnnConfig(num_classes=len(charset) + 1)
+        self.charset = charset
+        if len(charset) + 1 != self.crnn_cfg.num_classes:
+            raise ValueError(
+                f"charset size {len(charset)} + blank != num_classes "
+                f"{self.crnn_cfg.num_classes}"
+            )
+        key = jax.random.PRNGKey(0)
+        self.craft_params = (
+            craft_params
+            if craft_params is not None
+            else craft_mod.init_craft_params(self.craft_cfg, key)
+        )
+        self.crnn_params = (
+            crnn_params
+            if crnn_params is not None
+            else crnn_mod.init_crnn_params(self.crnn_cfg, key)
+        )
+        self._craft = craft_mod.make_jitted_craft(self.craft_cfg)
+        self._crnn = crnn_mod.make_jitted_crnn(self.crnn_cfg)
+        self.det_buckets = det_buckets
+        self.rec_width_buckets = rec_width_buckets
+
+    # -- detection ---------------------------------------------------------
+
+    def detect_boxes(self, rgb: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """RGB uint8 [H,W,3] → [(x,y,w,h)] text boxes in image coords."""
+        h, w = rgb.shape[:2]
+        side = _round_up(max(h, w), self.det_buckets)
+        scale = min(1.0, side / max(h, w, 1))
+        if scale < 1.0:
+            rgb = _resize_rgb(rgb, (int(h * scale), int(w * scale)))
+            h, w = rgb.shape[:2]
+        padded = np.zeros((1, side, side, 3), np.uint8)
+        padded[0, :h, :w] = rgb
+        region, affinity = self._craft(self.craft_params, padded)
+        region = np.asarray(region[0, : (h + 1) // 2, : (w + 1) // 2])
+        affinity = np.asarray(affinity[0, : (h + 1) // 2, : (w + 1) // 2])
+        boxes = craft_boxes.extract_boxes(
+            region,
+            affinity,
+            text_threshold=self.craft_cfg.text_threshold,
+            link_threshold=self.craft_cfg.link_threshold,
+            low_text=self.craft_cfg.low_text,
+        )
+        if scale < 1.0:
+            inv = 1.0 / scale
+            boxes = [
+                (int(x * inv), int(y * inv), int(bw * inv), int(bh * inv))
+                for x, y, bw, bh in boxes
+            ]
+        return boxes
+
+    # -- recognition -------------------------------------------------------
+
+    def recognize_lines(self, gray_crops: list[np.ndarray]) -> list[str]:
+        """Gray uint8 line crops (any sizes) → texts, ONE recognizer
+        dispatch per width bucket."""
+        import jax.numpy as jnp
+
+        if not gray_crops:
+            return []
+        ih = self.crnn_cfg.input_height
+        # resize each to input height, keep aspect, group by width bucket
+        per_bucket: dict[int, list[tuple[int, np.ndarray, int]]] = {}
+        for i, crop in enumerate(gray_crops):
+            ch, cw = crop.shape[:2]
+            if ch == 0 or cw == 0:
+                per_bucket.setdefault(0, []).append((i, None, 0))
+                continue
+            nw = max(8, int(round(cw * ih / ch)))
+            resized = _resize_gray(crop, (ih, nw))
+            bucket = _round_up(nw, self.rec_width_buckets)
+            if nw > bucket:  # wider than the largest bucket: squeeze
+                resized = _resize_gray(crop, (ih, bucket))
+                nw = bucket
+            per_bucket.setdefault(bucket, []).append((i, resized, nw))
+        texts = [""] * len(gray_crops)
+        for bucket, items in per_bucket.items():
+            if bucket == 0:
+                continue
+            batch = np.zeros((len(items), ih, bucket, 1), np.float32)
+            widths = np.zeros(len(items), np.int64)
+            for row, (_, resized, nw) in enumerate(items):
+                batch[row, :, :nw, 0] = resized.astype(np.float32)
+                widths[row] = nw
+            batch = (batch / 255.0 - 0.5) / 0.5
+            logits = np.asarray(self._crnn(self.crnn_params, jnp.asarray(batch)))
+            # valid columns: feature T = W/4 - 1 at the default geometry
+            t_valid = np.maximum(widths // 4 - 1, 1)
+            decoded = crnn_mod.ctc_greedy(
+                logits, t_valid, blank_id=self.crnn_cfg.blank_id
+            )
+            for (idx, _, _), ids in zip(items, decoded):
+                texts[idx] = "".join(
+                    self.charset[k - 1] for k in ids if 0 < k <= len(self.charset)
+                )
+        return texts
+
+    # -- engine contract ---------------------------------------------------
+
+    def readtext(self, bgr: np.ndarray) -> list[tuple[tuple, str]]:
+        """EasyOCR-shaped API: [(box, text)] per detected region."""
+        rgb = np.ascontiguousarray(bgr[..., ::-1])
+        boxes = self.detect_boxes(rgb)
+        gray = _to_gray(rgb)
+        crops = [gray[y : y + h, x : x + w] for x, y, w, h in boxes]
+        texts = self.recognize_lines(crops)
+        return [(b, t) for b, t in zip(boxes, texts) if t]
+
+    def perform_ocr(self, cv_bgr_image: np.ndarray, settings: dict | None = None) -> str:
+        try:
+            img = np.asarray(cv_bgr_image)
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=2)
+            results = self.readtext(img)
+            lines = craft_boxes.group_lines([b for b, _ in results])
+            by_box = {tuple(b): t for b, t in results}
+            return "\n".join(
+                " ".join(by_box[tuple(b)] for b in line if tuple(b) in by_box)
+                for line in lines
+            ).strip()
+        except Exception as e:  # sentinel contract (workers.py:296 checks)
+            return f"[ERROR: TPU-Latin failed: {e}]"
+
+    @classmethod
+    def from_checkpoints(
+        cls, craft_path: str, crnn_path: str, charset: str = DEFAULT_CHARSET, **kw
+    ) -> "TpuLatinEngine":
+        """Build from torch ``.pth`` checkpoints (EasyOCR's published files)."""
+        from manga_ocr_tpu.models import convert_latin as cl
+
+        craft_params = cl.convert_craft_state_dict(cl.load_torch_checkpoint(craft_path))
+        crnn_sd = cl.load_torch_checkpoint(crnn_path)
+        crnn_params = cl.convert_crnn_state_dict(crnn_sd)
+        num_classes = crnn_params["head"]["bias"].shape[0]
+        kw.setdefault("crnn_cfg", crnn_mod.CrnnConfig(num_classes=num_classes))
+        if len(charset) + 1 != num_classes:
+            raise ValueError(
+                f"checkpoint has {num_classes} classes; charset must have "
+                f"{num_classes - 1} characters"
+            )
+        return cls(craft_params, crnn_params, charset=charset, **kw)
+
+
+# -- small host helpers (PIL-free, cv2-free) --------------------------------
+
+
+def _to_gray(rgb: np.ndarray) -> np.ndarray:
+    # cv2-parity fixed-point luma (same coefficients as ops/batching gray)
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15).astype(np.uint8)
+
+
+def _resize_gray(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-ish bilinear resize via index sampling (host, small crops)."""
+    h, w = img.shape[:2]
+    nh, nw = hw
+    ys = np.clip(((np.arange(nh) + 0.5) * h / nh - 0.5).round().astype(int), 0, h - 1)
+    xs = np.clip(((np.arange(nw) + 0.5) * w / nw - 0.5).round().astype(int), 0, w - 1)
+    return img[ys][:, xs]
+
+
+def _resize_rgb(img: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    h, w = img.shape[:2]
+    nh, nw = hw
+    ys = np.clip(((np.arange(nh) + 0.5) * h / nh - 0.5).round().astype(int), 0, h - 1)
+    xs = np.clip(((np.arange(nw) + 0.5) * w / nw - 0.5).round().astype(int), 0, w - 1)
+    return img[ys][:, xs]

@@ -19,6 +19,7 @@ adapters kept for capability parity.
 from __future__ import annotations
 
 import importlib.util
+import os
 import shutil
 import subprocess
 import tempfile
@@ -209,13 +210,43 @@ class TesseractEngine:
             return _err(f"TESSERACT: {e}")
 
 
-def make_default_registry(tpu_engine=None, ai_ocr=None) -> EngineRegistry:
-    """Standard registry: the TPU engine + lazily-probed host engines."""
+def make_default_registry(
+    tpu_engine=None, ai_ocr=None, settings: dict | None = None
+) -> EngineRegistry:
+    """Standard registry: the TPU engine + lazily-probed host engines.
+
+    ``settings``: when the ``tpu.latin_*_checkpoint`` paths are configured,
+    the TPU-native Latin engine (engine/latin.py) registers as
+    ``"Latin (TPU)"`` — CRAFT detection + CTC recognition as batched JAX
+    dispatches instead of the per-image EasyOCR torch call."""
     reg = EngineRegistry()
     if tpu_engine is not None:
         reg.register("Manga-OCR", tpu_engine)
     if ai_ocr is not None:
         reg.register("AI_OCR", ai_ocr)
+
+    tpu_cfg = (settings or {}).get("tpu", {})
+    craft_path = tpu_cfg.get("latin_craft_checkpoint", "")
+    crnn_path = tpu_cfg.get("latin_crnn_checkpoint", "")
+    if craft_path and crnn_path:
+
+        def _latin():
+            from manga_ocr_tpu.engine.latin import (
+                DEFAULT_CHARSET,
+                TpuLatinEngine,
+            )
+
+            return TpuLatinEngine.from_checkpoints(
+                craft_path,
+                crnn_path,
+                charset=tpu_cfg.get("latin_charset") or DEFAULT_CHARSET,
+            )
+
+        reg.register_lazy(
+            "Latin (TPU)",
+            _latin,
+            probe=lambda: os.path.exists(craft_path) and os.path.exists(crnn_path),
+        )
     reg.register_lazy(
         "Tesseract",
         TesseractEngine,
