@@ -63,8 +63,6 @@ class TpuLatinEngine:
         det_buckets: tuple = _DET_BUCKETS,
         rec_width_buckets: tuple = _REC_WIDTH_BUCKETS,
     ):
-        import jax
-
         self.craft_cfg = craft_cfg or craft_mod.CraftConfig()
         self.crnn_cfg = crnn_cfg or crnn_mod.CrnnConfig(num_classes=len(charset) + 1)
         self.charset = charset
@@ -73,21 +71,34 @@ class TpuLatinEngine:
                 f"charset size {len(charset)} + blank != num_classes "
                 f"{self.crnn_cfg.num_classes}"
             )
-        key = jax.random.PRNGKey(0)
-        self.craft_params = (
-            craft_params
-            if craft_params is not None
-            else craft_mod.init_craft_params(self.craft_cfg, key)
-        )
-        self.crnn_params = (
-            crnn_params
-            if crnn_params is not None
-            else crnn_mod.init_crnn_params(self.crnn_cfg, key)
-        )
+        # params init lazily per half: recognition-only callers never pay
+        # the (large) random CRAFT init, and vice versa
+        self._craft_params = craft_params
+        self._crnn_params = crnn_params
         self._craft = craft_mod.make_jitted_craft(self.craft_cfg)
         self._crnn = crnn_mod.make_jitted_crnn(self.crnn_cfg)
         self.det_buckets = det_buckets
         self.rec_width_buckets = rec_width_buckets
+
+    @property
+    def craft_params(self) -> dict:
+        if self._craft_params is None:
+            import jax
+
+            self._craft_params = craft_mod.init_craft_params(
+                self.craft_cfg, jax.random.PRNGKey(0)
+            )
+        return self._craft_params
+
+    @property
+    def crnn_params(self) -> dict:
+        if self._crnn_params is None:
+            import jax
+
+            self._crnn_params = crnn_mod.init_crnn_params(
+                self.crnn_cfg, jax.random.PRNGKey(0)
+            )
+        return self._crnn_params
 
     # -- detection ---------------------------------------------------------
 

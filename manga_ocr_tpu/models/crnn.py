@@ -159,15 +159,16 @@ def ctc_greedy(logits: np.ndarray, lengths: np.ndarray | None, blank_id: int = 0
 
 
 def _init_conv(key, kh, kw, cin, cout, bias=True) -> dict:
-    scale = 1.0 / np.sqrt(kh * kw * cin)
-    k1, k2 = jax.random.split(key)
-    p = {
-        "kernel": jax.random.uniform(
-            k1, (kh, kw, cin, cout), jnp.float32, -scale, scale
-        )
-    }
+    # He-normal, not torch's uniform 1/sqrt(fan): the torch net trains with
+    # BatchNorm re-normalizing mid-stack, which conversion folds away; a
+    # trainable-from-scratch init must preserve ReLU signal through all 7
+    # convs itself or features collapse (~0.02 std) and CTC sticks at the
+    # all-blank plateau
+    scale = np.sqrt(2.0 / (kh * kw * cin))
+    k1, _ = jax.random.split(key)
+    p = {"kernel": scale * jax.random.normal(k1, (kh, kw, cin, cout), jnp.float32)}
     if bias:
-        p["bias"] = jax.random.uniform(k2, (cout,), jnp.float32, -scale, scale)
+        p["bias"] = jnp.zeros((cout,), jnp.float32)
     return p
 
 
