@@ -155,11 +155,45 @@ def cmd_process(args) -> int:
     # one snapshot for the whole run — as_dict() deep-copies the settings
     # tree, so per-job copies were pure waste (settings don't change here)
     settings_dict = settings.as_dict()
+
+    # Text-mode detection (reference AutoDetector mode "Text",
+    # workers.py:470-474): proposals recognized in ONE batched dispatch,
+    # detections carry their text so the pipeline's pre-text skip applies.
+    text_proposer = None
+    if args.detect_mode == "text" and args.text_proposer in ("auto", "craft"):
+        from manga_ocr_tpu.detect import text_detect as td
+
+        craft_ckpt = settings.get("tpu.latin_craft_checkpoint") or ""
+        if craft_ckpt and os.path.exists(craft_ckpt):
+            from manga_ocr_tpu.engine.latin import TpuLatinEngine
+            from manga_ocr_tpu.models import convert_latin as cl
+
+            latin = TpuLatinEngine(
+                craft_params=cl.convert_craft_state_dict(
+                    cl.load_torch_checkpoint(craft_ckpt)
+                )
+            )
+            text_proposer = td.craft_proposer(latin)
+        elif args.text_proposer == "craft":
+            print(
+                "--text-proposer craft needs tpu.latin_craft_checkpoint in "
+                "settings",
+                file=sys.stderr,
+            )
+            return 1
+
     for path in pages:
         page = fio.safe_open_image(path)
         if page is None:
             continue
-        if detector is not None:
+        if args.detect_mode == "text":
+            from manga_ocr_tpu.detect import text_detect as td
+
+            items = td.detect_text_regions(
+                page, engine.ocr_page, proposer=text_proposer
+            )
+            detections = [{"polygon": poly, "text": text} for text, poly in items]
+        elif detector is not None:
             detections = detector.detect_bubbles(page)
             # auto_split_bubbles is a per-job UI-checkbox key in the
             # reference (get_current_settings, main_window.py:4946), not a
@@ -252,6 +286,23 @@ def main(argv=None) -> int:
         action="store_true",
         help="disable the reference's auto_split_bubbles rule (UI checkbox "
         "analog, main_window.py:4946)",
+    )
+    p_proc.add_argument(
+        "--detect-mode",
+        default="bubble",
+        choices=("bubble", "text"),
+        help="detection sweep mode (the reference AutoDetector's "
+        "Bubble/Text switch, workers.py:448-482): bubble = segmenter mask "
+        "-> polygons; text = region proposals recognized in one batched "
+        "dispatch",
+    )
+    p_proc.add_argument(
+        "--text-proposer",
+        default="auto",
+        choices=("auto", "morph", "craft"),
+        help="text-mode proposal source: morphological pass (reference "
+        "behavior) or the native CRAFT detector (needs "
+        "tpu.latin_craft_checkpoint); auto = craft when configured",
     )
     p_proc.add_argument("--format", default="PNG")
     p_proc.set_defaults(fn=cmd_process)

@@ -83,18 +83,54 @@ def refine_polygon_with_image(page_bgr: np.ndarray, polygon: np.ndarray) -> np.n
     return polygon_from_rect(tight)
 
 
+def craft_proposer(
+    latin_engine,
+) -> Callable[[np.ndarray], list[np.ndarray]]:
+    """Proposal source backed by the native CRAFT detector
+    (``engine/latin.py``) — the rebuild's equivalent of the reference's
+    engine-specific box collectors (EasyOCR's collector at
+    ``main_window.py:9322-9352`` reads boxes out of its internal CRAFT).
+
+    Returns a ``page_bgr -> [polygon]`` callable for ``detect_text_regions``;
+    the model's word boxes are grouped into lines (``craft_boxes.group_lines``)
+    so the downstream merge/filter tail sees line-level regions like the
+    morphological proposer produces."""
+    from manga_ocr_tpu.detect import craft_boxes
+
+    def _propose(page_bgr: np.ndarray) -> list[np.ndarray]:
+        rgb = np.ascontiguousarray(np.asarray(page_bgr)[..., ::-1])
+        boxes = latin_engine.detect_boxes(rgb)
+        h, w = rgb.shape[:2]
+        polys = []
+        for line in craft_boxes.group_lines(boxes):
+            x0 = min(b[0] for b in line)
+            y0 = min(b[1] for b in line)
+            x1 = max(b[0] + b[2] for b in line)
+            y1 = max(b[1] + b[3] for b in line)
+            rect = Rect(x0, y0, x1 - x0, y1 - y0).clamped(w, h)
+            if rect.w >= 2 and rect.h >= 2:
+                polys.append(polygon_from_rect(rect))
+        return polys
+
+    return _propose
+
+
 def detect_text_regions(
     page_bgr: np.ndarray,
     ocr_page: Callable[[Sequence[np.ndarray]], list[str]],
     advanced: bool = False,
     merge: bool = True,
+    proposer: Callable[[np.ndarray], list[np.ndarray]] | None = None,
 ) -> list[tuple[str, np.ndarray]]:
     """Full text-mode detection -> [(text, polygon)].
 
     ``ocr_page`` is the batched engine entry; every proposal is recognized
-    in one dispatch instead of the reference's per-region loop."""
+    in one dispatch instead of the reference's per-region loop.  ``proposer``
+    selects the proposal source: default is the morphological pass
+    (reference ``:9430-9460``); pass ``craft_proposer(engine)`` for the
+    native CRAFT detector."""
     h, w = page_bgr.shape[:2]
-    proposals = propose_text_regions(page_bgr)
+    proposals = (proposer or propose_text_regions)(page_bgr)
     if advanced:
         proposals = [refine_polygon_with_image(page_bgr, p) for p in proposals]
     crops, kept = [], []

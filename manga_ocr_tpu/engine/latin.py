@@ -102,19 +102,27 @@ class TpuLatinEngine:
 
     # -- detection ---------------------------------------------------------
 
-    def detect_boxes(self, rgb: np.ndarray) -> list[tuple[int, int, int, int]]:
-        """RGB uint8 [H,W,3] → [(x,y,w,h)] text boxes in image coords."""
+    def _prep_for_detection(
+        self, rgb: np.ndarray
+    ) -> tuple[np.ndarray, int, int, int, float]:
+        """Scale-to-fit + pick the pad bucket for one image.
+
+        Returns ``(scaled_rgb, side, h, w, scale)`` where ``(h, w)`` are the
+        scaled dims that occupy the top-left of the ``side``-square pad."""
         h, w = rgb.shape[:2]
         side = _round_up(max(h, w), self.det_buckets)
         scale = min(1.0, side / max(h, w, 1))
         if scale < 1.0:
             rgb = _resize_rgb(rgb, (int(h * scale), int(w * scale)))
             h, w = rgb.shape[:2]
-        padded = np.zeros((1, side, side, 3), np.uint8)
-        padded[0, :h, :w] = rgb
-        region, affinity = self._craft(self.craft_params, padded)
-        region = np.asarray(region[0, : (h + 1) // 2, : (w + 1) // 2])
-        affinity = np.asarray(affinity[0, : (h + 1) // 2, : (w + 1) // 2])
+        return rgb, side, h, w, scale
+
+    def _boxes_from_maps(
+        self, region: np.ndarray, affinity: np.ndarray, h: int, w: int, scale: float
+    ) -> list[tuple[int, int, int, int]]:
+        """Half-res score maps (one image) → boxes in original image coords."""
+        region = np.asarray(region[: (h + 1) // 2, : (w + 1) // 2])
+        affinity = np.asarray(affinity[: (h + 1) // 2, : (w + 1) // 2])
         boxes = craft_boxes.extract_boxes(
             region,
             affinity,
@@ -129,6 +137,42 @@ class TpuLatinEngine:
                 for x, y, bw, bh in boxes
             ]
         return boxes
+
+    def detect_boxes(self, rgb: np.ndarray) -> list[tuple[int, int, int, int]]:
+        """RGB uint8 [H,W,3] → [(x,y,w,h)] text boxes in image coords."""
+        rgb, side, h, w, scale = self._prep_for_detection(rgb)
+        padded = np.zeros((1, side, side, 3), np.uint8)
+        padded[0, :h, :w] = rgb
+        region, affinity = self._craft(self.craft_params, padded)
+        return self._boxes_from_maps(region[0], affinity[0], h, w, scale)
+
+    def detect_boxes_batch(
+        self, images: list[np.ndarray]
+    ) -> list[list[tuple[int, int, int, int]]]:
+        """Batched multi-page detection: images grouped by pad bucket, ONE
+        CRAFT dispatch per bucket (vs the reference's per-image torch call in
+        the AutoDetector sweep, ``workers.py:448-482``).  Compile-once shapes:
+        each bucket side compiles one [N?, side, side, 3] program per batch
+        count, so repeated sweeps of same-sized pages reuse executables."""
+        prepped = [self._prep_for_detection(np.asarray(img)) for img in images]
+        per_bucket: dict[int, list[int]] = {}
+        for i, (_, side, _, _, _) in enumerate(prepped):
+            per_bucket.setdefault(side, []).append(i)
+        out: list[list[tuple[int, int, int, int]]] = [[] for _ in images]
+        for side, idxs in sorted(per_bucket.items()):
+            batch = np.zeros((len(idxs), side, side, 3), np.uint8)
+            for row, i in enumerate(idxs):
+                rgb, _, h, w, _ = prepped[i]
+                batch[row, :h, :w] = rgb
+            region, affinity = self._craft(self.craft_params, batch)
+            region = np.asarray(region)
+            affinity = np.asarray(affinity)
+            for row, i in enumerate(idxs):
+                _, _, h, w, scale = prepped[i]
+                out[i] = self._boxes_from_maps(
+                    region[row], affinity[row], h, w, scale
+                )
+        return out
 
     # -- recognition -------------------------------------------------------
 

@@ -96,3 +96,84 @@ def test_cli_mesh_data_flag_builds_sharded_engine(tmp_path, monkeypatch, capsys)
     rc = cli.main(["--mesh-data", "8", "--max-length", "8", "ocr", str(img)])
     assert rc == 0
     assert str(img) in capsys.readouterr().out
+
+
+def test_cli_process_text_mode(tmp_path, monkeypatch, capsys):
+    """--detect-mode text: proposals recognized in one batched dispatch,
+    detections carry text (pre-text skip), project written."""
+    import cv2
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu import cli
+    from manga_ocr_tpu.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    cfg = MangaOCRConfig.tiny()
+
+    def tiny_engine(args):
+        params = mdl.init_params(cfg, jax.random.PRNGKey(0))
+        return TpuMangaOcrEngine(
+            params, cfg, CharTokenizer.synthetic(), max_length=8, dtype=jnp.float32
+        )
+
+    monkeypatch.setattr(cli, "_build_engine", tiny_engine)
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    page = np.full((200, 300, 3), 245, np.uint8)
+    cv2.putText(page, "HELLO", (40, 60), cv2.FONT_HERSHEY_SIMPLEX, 1.2, (10, 10, 10), 3)
+    Image.fromarray(page).save(pages / "p1.png")
+    outdir = tmp_path / "out"
+    rc = cli.main(
+        ["process", str(pages), "--out", str(outdir), "--detect-mode", "text"]
+    )
+    assert rc == 0
+    assert (outdir / "project.json").exists()
+
+
+def test_cli_text_proposer_craft_requires_checkpoint(tmp_path, monkeypatch, capsys):
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu import cli
+    from manga_ocr_tpu.engine import TpuMangaOcrEngine
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    cfg = MangaOCRConfig.tiny()
+    monkeypatch.setattr(
+        cli,
+        "_build_engine",
+        lambda args: TpuMangaOcrEngine(
+            mdl.init_params(cfg, jax.random.PRNGKey(0)),
+            cfg,
+            CharTokenizer.synthetic(),
+            max_length=8,
+            dtype=jnp.float32,
+        ),
+    )
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    Image.fromarray(np.full((64, 64, 3), 240, np.uint8)).save(pages / "p1.png")
+    rc = cli.main(
+        [
+            "process",
+            str(pages),
+            "--out",
+            str(tmp_path / "out"),
+            "--detect-mode",
+            "text",
+            "--text-proposer",
+            "craft",
+        ]
+    )
+    assert rc == 1
+    assert "latin_craft_checkpoint" in capsys.readouterr().err

@@ -357,3 +357,26 @@ def test_registry_gates_latin_on_checkpoints(tmp_path):
         }
     )
     assert "Latin (TPU)" in reg.available_engines()
+
+
+def test_detect_boxes_batch_matches_single():
+    """Bucketed multi-page detection == per-image detection, exactly."""
+    eng = TpuLatinEngine(
+        craft_cfg=CRAFT_CFG,
+        crnn_cfg=CRNN_CFG,
+        charset="0123456789ab",
+        det_buckets=(32, 64),
+        rec_width_buckets=(32, 64),
+    )
+    rng = np.random.default_rng(1)
+    # two images in the 32-bucket, one in the 64-bucket, one oversized
+    # (downscaled into the largest bucket)
+    images = [
+        rng.integers(0, 255, (24, 30, 3)).astype(np.uint8),
+        rng.integers(0, 255, (30, 18, 3)).astype(np.uint8),
+        rng.integers(0, 255, (50, 60, 3)).astype(np.uint8),
+        rng.integers(0, 255, (90, 70, 3)).astype(np.uint8),
+    ]
+    batched = eng.detect_boxes_batch(images)
+    singles = [eng.detect_boxes(img) for img in images]
+    assert batched == singles

@@ -55,3 +55,42 @@ def test_detect_text_regions_end_to_end(page):
 def test_error_sentinels_filtered(page):
     items = td.detect_text_regions(page, lambda crops: ["[ERROR: x]"] * len(crops))
     assert items == []
+
+
+class _StubLatin:
+    """detect_boxes stand-in: returns fixed word boxes in image coords."""
+
+    def __init__(self, boxes):
+        self.boxes = boxes
+        self.seen = []
+
+    def detect_boxes(self, rgb):
+        self.seen.append(rgb.shape)
+        return list(self.boxes)
+
+
+def test_craft_proposer_groups_lines(page):
+    # two words on one line + one separate lower word -> 2 line polygons
+    stub = _StubLatin([(40, 40, 100, 24), (150, 42, 110, 22), (200, 250, 90, 24)])
+    propose = td.craft_proposer(stub)
+    polys = propose(page)
+    assert len(polys) == 2
+    rects = sorted((polygon_bounding_rect(p) for p in polys), key=lambda r: r.top)
+    # first line spans the union of the two word boxes
+    assert rects[0].left == 40 and rects[0].right >= 259
+    assert rects[0].top == 40 and rects[0].bottom >= 63
+    assert rects[1].top == 250
+    # proposer received RGB of the same page shape
+    assert stub.seen == [page.shape]
+
+
+def test_craft_proposer_feeds_detection(page):
+    stub = _StubLatin([(40, 40, 320, 60)])
+    items = td.detect_text_regions(
+        page, lambda crops: ["hello"] * len(crops), proposer=td.craft_proposer(stub)
+    )
+    assert len(items) == 1
+    text, poly = items[0]
+    assert text == "hello"
+    r = polygon_bounding_rect(poly)
+    assert (r.left, r.top) == (40, 40)
