@@ -76,7 +76,9 @@ def default_settings() -> dict:
             "microbatch_window_ms": 10,
             "mesh": {"data": -1, "model": 1},  # -1 = all remaining devices
             # TPU-native Latin engine (engine/latin.py): torch .pth
-            # checkpoints converted at load time (models/convert_latin.py)
+            # checkpoints converted at load time (models/convert_latin.py);
+            # latin_crnn_checkpoint may also be a native dir written by
+            # train_latin (its manifest then provides the charset)
             "latin_craft_checkpoint": "",
             "latin_crnn_checkpoint": "",
             "latin_charset": "",  # "" = engine default charset

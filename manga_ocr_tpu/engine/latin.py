@@ -248,16 +248,33 @@ class TpuLatinEngine:
 
     @classmethod
     def from_checkpoints(
-        cls, craft_path: str, crnn_path: str, charset: str = DEFAULT_CHARSET, **kw
+        cls, craft_path: str, crnn_path: str, charset: str | None = None, **kw
     ) -> "TpuLatinEngine":
-        """Build from torch ``.pth`` checkpoints (EasyOCR's published files)."""
+        """Build from checkpoints.
+
+        ``craft_path``: torch ``.pth`` (EasyOCR's published detector).
+        ``crnn_path``: torch ``.pth`` OR a native checkpoint dir written by
+        ``train_latin.save_crnn_checkpoint`` (whose manifest carries the
+        training charset — an explicit ``charset`` argument overrides it;
+        for ``.pth`` the charset defaults to :data:`DEFAULT_CHARSET`)."""
+        import os
+
         from manga_ocr_tpu.models import convert_latin as cl
 
         craft_params = cl.convert_craft_state_dict(cl.load_torch_checkpoint(craft_path))
-        crnn_sd = cl.load_torch_checkpoint(crnn_path)
-        crnn_params = cl.convert_crnn_state_dict(crnn_sd)
+        if os.path.isdir(crnn_path):
+            from manga_ocr_tpu.train_latin import load_crnn_checkpoint
+
+            crnn_params, crnn_cfg, manifest_charset = load_crnn_checkpoint(crnn_path)
+            kw.setdefault("crnn_cfg", crnn_cfg)
+            charset = charset or manifest_charset
+        else:
+            crnn_sd = cl.load_torch_checkpoint(crnn_path)
+            crnn_params = cl.convert_crnn_state_dict(crnn_sd)
+            num_classes = crnn_params["head"]["bias"].shape[0]
+            kw.setdefault("crnn_cfg", crnn_mod.CrnnConfig(num_classes=num_classes))
+            charset = charset or DEFAULT_CHARSET
         num_classes = crnn_params["head"]["bias"].shape[0]
-        kw.setdefault("crnn_cfg", crnn_mod.CrnnConfig(num_classes=num_classes))
         if len(charset) + 1 != num_classes:
             raise ValueError(
                 f"checkpoint has {num_classes} classes; charset must have "

@@ -231,15 +231,14 @@ def make_default_registry(
     if craft_path and crnn_path:
 
         def _latin():
-            from manga_ocr_tpu.engine.latin import (
-                DEFAULT_CHARSET,
-                TpuLatinEngine,
-            )
+            from manga_ocr_tpu.engine.latin import TpuLatinEngine
 
+            # charset resolution: explicit settings override > native
+            # checkpoint manifest > DEFAULT_CHARSET (torch .pth case)
             return TpuLatinEngine.from_checkpoints(
                 craft_path,
                 crnn_path,
-                charset=tpu_cfg.get("latin_charset") or DEFAULT_CHARSET,
+                charset=tpu_cfg.get("latin_charset") or None,
             )
 
         reg.register_lazy(

@@ -17,6 +17,9 @@ normalization + CTC decode).
 
 from __future__ import annotations
 
+import dataclasses
+import json
+import os
 from typing import NamedTuple
 
 import jax
@@ -26,6 +29,9 @@ import optax
 
 from manga_ocr_tpu.models import crnn as crnn_mod
 from manga_ocr_tpu.models.crnn import CrnnConfig
+
+MANIFEST = "manifest.json"
+WEIGHTS = "crnn.npz"
 
 
 class CtcBatch(NamedTuple):
@@ -115,3 +121,209 @@ def synthetic_line_dataset(
         yield CtcBatch(
             jnp.asarray(images), jnp.asarray(labels), jnp.asarray(paddings)
         )
+
+
+def directory_line_dataset(
+    data_dir: str,
+    cfg: CrnnConfig,
+    charset: str,
+    batch_size: int,
+    width: int,
+    max_chars: int,
+    seed: int = 0,
+):
+    """Infinite CtcBatch generator over ``(name.png, name.txt)`` line pairs.
+
+    Images are resized to ``cfg.input_height`` keeping aspect (the engine's
+    serving-side rule, ``engine/latin.py recognize_lines``), left-aligned
+    into the fixed training width; labels use 1-based charset ids.  Pairs
+    whose text contains characters outside ``charset`` or exceeds
+    ``max_chars`` are skipped with a warning (once each)."""
+    from PIL import Image
+
+    from manga_ocr_tpu.engine.latin import _resize_gray
+
+    idx = {c: i + 1 for i, c in enumerate(charset)}
+    items: list[tuple[np.ndarray, list[int]]] = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".txt"):
+            continue
+        stem = name[:-4]
+        img_path = None
+        for ext in (".png", ".jpg", ".jpeg", ".bmp"):
+            cand = os.path.join(data_dir, stem + ext)
+            if os.path.exists(cand):
+                img_path = cand
+                break
+        if img_path is None:
+            continue
+        with open(os.path.join(data_dir, name), encoding="utf-8") as f:
+            text = f.read().strip("\n")
+        if not text or len(text) > max_chars or any(c not in idx for c in text):
+            print(f"train_latin: skipping {stem} (empty/too long/out-of-charset)")
+            continue
+        gray = np.asarray(Image.open(img_path).convert("L"), np.uint8)
+        h, w = gray.shape
+        nw = min(width, max(8, int(round(w * cfg.input_height / max(h, 1)))))
+        items.append((_resize_gray(gray, (cfg.input_height, nw)), [idx[c] for c in text]))
+    if not items:
+        raise ValueError(f"no usable (img, txt) line pairs in {data_dir}")
+
+    def _gen():
+        rng = np.random.default_rng(seed)
+        hh = cfg.input_height
+        while True:
+            picks = rng.integers(0, len(items), size=batch_size)
+            images = np.zeros((batch_size, hh, width, 1), np.float32)
+            labels = np.zeros((batch_size, max_chars), np.int32)
+            paddings = np.ones((batch_size, max_chars), np.float32)
+            for row, k in enumerate(picks):
+                gray, ids = items[int(k)]
+                images[row, :, : gray.shape[1], 0] = (
+                    gray.astype(np.float32) / 255.0 - 0.5
+                ) / 0.5
+                labels[row, : len(ids)] = ids
+                paddings[row, : len(ids)] = 0.0
+            yield CtcBatch(
+                jnp.asarray(images), jnp.asarray(labels), jnp.asarray(paddings)
+            )
+
+    return _gen()
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint store (loadable by TpuLatinEngine / the registry)
+# ---------------------------------------------------------------------------
+
+
+def save_crnn_checkpoint(
+    path: str, params: dict, cfg: CrnnConfig, charset: str
+) -> None:
+    """Write the recognizer as a native checkpoint dir: flat ``crnn.npz`` +
+    a JSON manifest carrying the config and the training charset (so serving
+    never has to guess the label mapping)."""
+    from manga_ocr_tpu.models.checkpoint import _flatten
+
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, WEIGHTS), **_flatten(params))
+    manifest = {"format": 1, "charset": charset, **dataclasses.asdict(cfg)}
+    with open(os.path.join(path, MANIFEST), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, ensure_ascii=False, indent=2)
+
+
+def load_crnn_checkpoint(path: str) -> tuple[dict, CrnnConfig, str]:
+    """Inverse of :func:`save_crnn_checkpoint` → (params, cfg, charset)."""
+    from manga_ocr_tpu.models.checkpoint import _relistify
+
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as f:
+        manifest = json.load(f)
+    charset = manifest.pop("charset")
+    manifest.pop("format", None)
+    cfg = CrnnConfig(**manifest)
+    data = np.load(os.path.join(path, WEIGHTS))
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return _relistify(tree), cfg, charset
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv=None) -> int:
+    """Fine-tune / train the Latin recognizer:
+    ``python -m manga_ocr_tpu.train_latin``.
+
+    Synthetic pattern-glyph lines by default; ``--data DIR`` of
+    (line.png, line.txt) pairs for real data.  ``--init`` seeds from a
+    converted EasyOCR ``.pth`` or a native checkpoint dir; ``--out`` writes
+    the native dir the registry loads via ``tpu.latin_crnn_checkpoint``."""
+    import argparse
+
+    from manga_ocr_tpu.engine.latin import DEFAULT_CHARSET
+
+    p = argparse.ArgumentParser(prog="manga-ocr-tpu-train-latin")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--width", type=int, default=128, help="training line width (px)")
+    p.add_argument("--max-chars", type=int, default=16)
+    p.add_argument("--charset", default=DEFAULT_CHARSET)
+    p.add_argument("--data", default="", help="dir of (line.png, line.txt) pairs; default: synthetic")
+    p.add_argument("--init", default="", help="EasyOCR .pth or native checkpoint dir to fine-tune from")
+    p.add_argument("--out", default="", help="native checkpoint dir to write")
+    p.add_argument("--save-every", type=int, default=0, help="also save every N steps (0 = end only)")
+    p.add_argument("--hidden-size", type=int, default=256)
+    p.add_argument("--output-channel", type=int, default=512)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    args = p.parse_args(argv)
+
+    charset = args.charset
+    if args.init and os.path.isdir(args.init):
+        params, cfg, charset = load_crnn_checkpoint(args.init)
+    elif args.init:  # torch .pth
+        from manga_ocr_tpu.models import convert_latin as cl
+
+        params = cl.convert_crnn_state_dict(cl.load_torch_checkpoint(args.init))
+        num_classes = params["head"]["bias"].shape[0]
+        if len(charset) + 1 != num_classes:
+            print(
+                f"--init has {num_classes} classes; --charset must have "
+                f"{num_classes - 1} characters"
+            )
+            return 1
+        cfg = CrnnConfig(
+            num_classes=num_classes,
+            output_channel=args.output_channel,
+            hidden_size=args.hidden_size,
+        )
+    else:
+        cfg = CrnnConfig(
+            num_classes=len(charset) + 1,
+            output_channel=args.output_channel,
+            hidden_size=args.hidden_size,
+        )
+        params = None
+
+    optimizer = optax.adamw(args.lr)
+    if params is None:
+        params, opt_state = init_ctc_train_state(
+            cfg, optimizer, jax.random.PRNGKey(args.seed)
+        )
+    else:
+        opt_state = optimizer.init(params)
+    step = make_ctc_train_step(optimizer)
+
+    if args.data:
+        dataset = directory_line_dataset(
+            args.data, cfg, charset, args.batch_size, args.width,
+            args.max_chars, seed=args.seed,
+        )
+    else:
+        dataset = synthetic_line_dataset(
+            cfg, charset, args.batch_size, args.width, args.max_chars,
+            seed=args.seed,
+        )
+
+    loss = float("nan")
+    for i in range(args.steps):
+        params, opt_state, loss = step(params, opt_state, next(dataset))
+        if args.log_every and (i % args.log_every == 0 or i == args.steps - 1):
+            print(f"step {i}: ctc_loss={float(loss):.4f}", flush=True)
+        if args.out and args.save_every and i and i % args.save_every == 0:
+            save_crnn_checkpoint(args.out, params, cfg, charset)
+    if args.out:
+        save_crnn_checkpoint(args.out, params, cfg, charset)
+        print(f"saved {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
