@@ -44,3 +44,40 @@ def test_missing_checkpoint_raises():
 
     with pytest.raises(FileNotFoundError):
         MangaOcr("/nonexistent/path/model")
+
+
+def test_manga_ocr_alias_package():
+    """The reference's exact import line (`from manga_ocr import MangaOcr`,
+    /root/reference/src/core/config.py:432) must resolve against this
+    framework's top-level alias package — and to the same class as the
+    canonical shim, so GUI callers and manga_ocr_tpu callers share engine
+    caches and monkeypatches."""
+    import manga_ocr
+    from manga_ocr import MangaOcr
+
+    import manga_ocr_tpu
+    import manga_ocr_tpu.compat as compat
+
+    assert MangaOcr is compat.MangaOcr
+    assert manga_ocr.__version__ == manga_ocr_tpu.__version__
+    assert manga_ocr.__all__ == ["MangaOcr", "__version__"]
+
+
+def test_manga_ocr_alias_is_import_light():
+    """Importing the alias (the reference does it at startup just to probe
+    availability) must not initialize a JAX backend."""
+    import subprocess
+    import sys
+
+    # NB: the platform image's sitecustomize preloads a few jax modules
+    # into EVERY python process, so "jax not in sys.modules" is untestable
+    # here; what matters is that no device backend gets initialized.
+    code = (
+        "import manga_ocr\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, 'alias import initialized a jax backend'\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert proc.returncode == 0, proc.stderr
