@@ -32,9 +32,16 @@ def _build_engine(args):
     from manga_ocr_tpu.utils import jax_cache
 
     jax_cache.enable()
+    dtype = (
+        jnp.float32
+        if getattr(args, "dtype", "bfloat16") == "float32"
+        else jnp.bfloat16
+    )
+    sk_flag = getattr(args, "serving_kernels", "auto")
+    serving_kernels = None if sk_flag == "auto" else (sk_flag == "on")
     ckpt = args.checkpoint or os.environ.get("MANGA_OCR_CHECKPOINT", "")
     if ckpt and os.path.isdir(ckpt):
-        params, cfg = load_hf_checkpoint(ckpt)
+        params, cfg = load_hf_checkpoint(ckpt, dtype)
         vocab_path = os.path.join(ckpt, "vocab.txt")
         tok = (
             CharTokenizer.from_vocab_file(vocab_path)
@@ -49,7 +56,7 @@ def _build_engine(args):
             file=sys.stderr,
         )
         cfg = MangaOCRConfig.base()
-        params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
         tok = CharTokenizer.synthetic()
     mesh = None
     n_data = int(getattr(args, "mesh_data", 0) or 0)
@@ -61,8 +68,9 @@ def _build_engine(args):
 
         mesh = meshlib.make_mesh(n_data)
     return TpuMangaOcrEngine(
-        params, cfg, tok, max_length=args.max_length, dtype=jnp.bfloat16,
+        params, cfg, tok, max_length=args.max_length, dtype=dtype,
         mesh=mesh,
+        serving_kernels=serving_kernels,
         wire=getattr(args, "wire", "gray"),
         coalesce=not getattr(args, "no_coalesce", False),
     )
@@ -261,6 +269,20 @@ def main(argv=None) -> int:
         default=0,
         help="shard crop batches over N devices (data-parallel serving; "
         "0/1 = single chip)",
+    )
+    p.add_argument(
+        "--dtype",
+        default="bfloat16",
+        choices=("bfloat16", "float32"),
+        help="compute dtype (bfloat16 on TPU; float32 for CPU runs and "
+        "bit-reproducible evaluation)",
+    )
+    p.add_argument(
+        "--serving-kernels",
+        default="auto",
+        choices=("auto", "on", "off"),
+        help="fused Pallas + int8 serving config: auto (engine default), "
+        "on, or off (exact f32/bf16 XLA math — evaluation baseline)",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 

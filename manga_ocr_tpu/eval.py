@@ -204,6 +204,19 @@ def main(argv=None) -> int:
     p.add_argument("fixtures")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--max-length", type=int, default=300)
+    p.add_argument(
+        "--dtype",
+        default="bfloat16",
+        choices=("bfloat16", "float32"),
+        help="compute dtype (float32 for bit-reproducible CPU evaluation)",
+    )
+    p.add_argument(
+        "--serving-kernels",
+        default="auto",
+        choices=("auto", "on", "off"),
+        help="fused Pallas+int8 serving config, or 'off' for the exact "
+        "XLA math baseline",
+    )
     args = p.parse_args(argv)
 
     engine = None
