@@ -69,11 +69,17 @@ def make_handler(service: OcrService):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
             body = json.dumps(payload, ensure_ascii=False).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (ConnectionError, BrokenPipeError):
+                # Client went away mid-reply (cancellation): nothing to tell
+                # it, and the per-connection thread must exit cleanly rather
+                # than bubble a traceback through handle_error.
+                self.close_connection = True
 
         def do_GET(self):
             if self.path == "/healthz":
