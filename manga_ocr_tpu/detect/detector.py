@@ -30,8 +30,18 @@ class BubbleDetector:
         params: dict | None = None,
         cfg: seg.DetectorConfig | None = None,
         min_area: float = 200.0,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — page batches are
+        sharded over the data axis (params replicated once); None = single
+        device.  At this model's size data parallelism is the whole
+        multi-chip story (SURVEY §5.8)."""
         self.cfg = cfg or seg.DetectorConfig()
+        self.mesh = mesh
+        if mesh is not None and params is not None:
+            from manga_ocr_tpu.parallel import mesh as meshlib
+
+            params = meshlib.dp_replicate(params, mesh)
         self.params = params
         self.min_area = min_area
 
@@ -69,8 +79,14 @@ class BubbleDetector:
         out: list[Optional[np.ndarray]] = [None] * len(pages_bgr)
         for (h, w), idxs in by_shape.items():
             rgb = np.stack([pages_bgr[i][..., ::-1] for i in idxs])
+            if self.mesh is not None:
+                from manga_ocr_tpu.parallel import mesh as meshlib
+
+                pages_dev = meshlib.dp_shard_batch(rgb, self.mesh)
+            else:
+                pages_dev = jnp.asarray(rgb)
             masks = np.asarray(
-                seg.segment_pages(self.params, jnp.asarray(rgb), self.cfg, h, w)
+                seg.segment_pages(self.params, pages_dev, self.cfg, h, w)
             )
             for row, i in enumerate(idxs):
                 out[i] = masks[row]

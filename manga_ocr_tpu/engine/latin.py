@@ -62,7 +62,12 @@ class TpuLatinEngine:
         crnn_cfg: crnn_mod.CrnnConfig | None = None,
         det_buckets: tuple = _DET_BUCKETS,
         rec_width_buckets: tuple = _REC_WIDTH_BUCKETS,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — CRAFT page batches and
+        CRNN line batches are sharded on the data axis (params replicated
+        lazily on first use); None = single device."""
+        self.mesh = mesh
         self.craft_cfg = craft_cfg or craft_mod.CraftConfig()
         self.crnn_cfg = crnn_cfg or crnn_mod.CrnnConfig(num_classes=len(charset) + 1)
         self.charset = charset
@@ -80,6 +85,24 @@ class TpuLatinEngine:
         self.det_buckets = det_buckets
         self.rec_width_buckets = rec_width_buckets
 
+    def _replicated(self, params: dict) -> dict:
+        if self.mesh is None:
+            return params
+        from manga_ocr_tpu.parallel import mesh as meshlib
+
+        return meshlib.dp_replicate(params, self.mesh)
+
+    def _batch_dev(self, batch_np: np.ndarray):
+        """Host batch -> device input (data-axis-sharded under a mesh).
+        Callers slice outputs back to the original row count."""
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return jnp.asarray(batch_np)
+        from manga_ocr_tpu.parallel import mesh as meshlib
+
+        return meshlib.dp_shard_batch(batch_np, self.mesh)
+
     @property
     def craft_params(self) -> dict:
         if self._craft_params is None:
@@ -88,6 +111,9 @@ class TpuLatinEngine:
             self._craft_params = craft_mod.init_craft_params(
                 self.craft_cfg, jax.random.PRNGKey(0)
             )
+        if getattr(self, "_craft_placed", None) is not self._craft_params:
+            self._craft_params = self._replicated(self._craft_params)
+            self._craft_placed = self._craft_params
         return self._craft_params
 
     @property
@@ -98,6 +124,9 @@ class TpuLatinEngine:
             self._crnn_params = crnn_mod.init_crnn_params(
                 self.crnn_cfg, jax.random.PRNGKey(0)
             )
+        if getattr(self, "_crnn_placed", None) is not self._crnn_params:
+            self._crnn_params = self._replicated(self._crnn_params)
+            self._crnn_placed = self._crnn_params
         return self._crnn_params
 
     # -- detection ---------------------------------------------------------
@@ -143,7 +172,7 @@ class TpuLatinEngine:
         rgb, side, h, w, scale = self._prep_for_detection(rgb)
         padded = np.zeros((1, side, side, 3), np.uint8)
         padded[0, :h, :w] = rgb
-        region, affinity = self._craft(self.craft_params, padded)
+        region, affinity = self._craft(self.craft_params, self._batch_dev(padded))
         return self._boxes_from_maps(region[0], affinity[0], h, w, scale)
 
     def detect_boxes_batch(
@@ -164,7 +193,7 @@ class TpuLatinEngine:
             for row, i in enumerate(idxs):
                 rgb, _, h, w, _ = prepped[i]
                 batch[row, :h, :w] = rgb
-            region, affinity = self._craft(self.craft_params, batch)
+            region, affinity = self._craft(self.craft_params, self._batch_dev(batch))
             region = np.asarray(region)
             affinity = np.asarray(affinity)
             for row, i in enumerate(idxs):
@@ -208,7 +237,9 @@ class TpuLatinEngine:
                 batch[row, :, :nw, 0] = resized.astype(np.float32)
                 widths[row] = nw
             batch = (batch / 255.0 - 0.5) / 0.5
-            logits = np.asarray(self._crnn(self.crnn_params, jnp.asarray(batch)))
+            logits = np.asarray(
+                self._crnn(self.crnn_params, self._batch_dev(batch))
+            )[: len(items)]
             # valid columns: feature T = W/4 - 1 at the default geometry
             t_valid = np.maximum(widths // 4 - 1, 1)
             decoded = crnn_mod.ctc_greedy(

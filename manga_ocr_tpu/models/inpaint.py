@@ -200,9 +200,38 @@ class LamaInpainter:
     """Reference-wrapper contract: ``(bgr image, mask) -> np image``
     (the callable shape the reference builds at main_window.py:3578)."""
 
-    def __init__(self, params: dict | None = None, cfg: InpaintConfig | None = None):
+    def __init__(
+        self,
+        params: dict | None = None,
+        cfg: InpaintConfig | None = None,
+        mesh=None,
+    ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — inpaint batches are
+        sharded on the data axis (params replicated once at construction);
+        None = single device."""
         self.cfg = cfg or InpaintConfig()
+        self.mesh = mesh
+        if mesh is not None and params is not None:
+            from manga_ocr_tpu.parallel import mesh as meshlib
+
+            params = meshlib.dp_replicate(params, mesh)
         self.params = params
+
+    def _dispatch(self, imgs: np.ndarray, msks: np.ndarray) -> np.ndarray:
+        """[N,H,W,3]/[N,H,W] uint8 (already factor-padded) -> [N,H,W,3]."""
+        if self.mesh is not None:
+            from manga_ocr_tpu.parallel import mesh as meshlib
+
+            n = imgs.shape[0]
+            imgs_dev = meshlib.dp_shard_batch(imgs, self.mesh)
+            msks_dev = meshlib.dp_shard_batch(msks, self.mesh)
+            out = np.asarray(
+                inpaint_batch(self.params, imgs_dev, msks_dev, self.cfg)
+            )
+            return out[:n]
+        return np.asarray(
+            inpaint_batch(self.params, jnp.asarray(imgs), jnp.asarray(msks), self.cfg)
+        )
 
     def __call__(self, image_bgr: np.ndarray, mask_u8: np.ndarray) -> np.ndarray:
         if self.params is None:
@@ -214,9 +243,39 @@ class LamaInpainter:
         pw = (f - w % f) % f
         img = np.pad(image_bgr, ((0, ph), (0, pw), (0, 0)), mode="edge")
         msk = np.pad(mask_u8, ((0, ph), (0, pw)), mode="constant")
-        out = np.asarray(
-            inpaint_batch(
-                self.params, jnp.asarray(img[None]), jnp.asarray(msk[None]), self.cfg
+        return self._dispatch(img[None], msk[None])[0][:h, :w]
+
+    def inpaint_many(
+        self, images_bgr: list[np.ndarray], masks_u8: list[np.ndarray]
+    ) -> list[np.ndarray]:
+        """Batched multi-region inpainting: regions grouped by factor-padded
+        shape, ONE device dispatch per shape group (the reference re-runs
+        LaMa per area per redraw — ``/root/reference/src/ui/
+        main_window.py:6981-7006`` — an O(areas) model-call loop)."""
+        if self.params is None:
+            raise RuntimeError("inpainter has no weights loaded")
+        f = 2**self.cfg.downsamples
+        prepped = []
+        for img, msk in zip(images_bgr, masks_u8):
+            h, w = img.shape[:2]
+            ph, pw = (f - h % f) % f, (f - w % f) % f
+            prepped.append(
+                (
+                    np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge"),
+                    np.pad(msk, ((0, ph), (0, pw)), mode="constant"),
+                    h,
+                    w,
+                )
             )
-        )[0]
-        return out[:h, :w]
+        by_shape: dict[tuple, list[int]] = {}
+        for i, (img, _, _, _) in enumerate(prepped):
+            by_shape.setdefault(img.shape[:2], []).append(i)
+        out: list[np.ndarray | None] = [None] * len(prepped)
+        for _, idxs in sorted(by_shape.items()):
+            imgs = np.stack([prepped[i][0] for i in idxs])
+            msks = np.stack([prepped[i][1] for i in idxs])
+            res = self._dispatch(imgs, msks)
+            for row, i in enumerate(idxs):
+                h, w = prepped[i][2], prepped[i][3]
+                out[i] = res[row][:h, :w]
+        return out  # type: ignore[return-value]

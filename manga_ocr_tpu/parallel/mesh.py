@@ -60,6 +60,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 # ---------------------------------------------------------------------------
+# Data-parallel dispatch helpers for the secondary models
+# ---------------------------------------------------------------------------
+# The detection (U-Net/ONNX), CRAFT/CRNN and LaMa models are all small and
+# embarrassingly batch-parallel; at their sizes plain batch-dim sharding is
+# the whole multi-chip story (SURVEY §5.8) — params replicated once, input
+# batches padded to the data-axis size and device_put with a sharded
+# layout, XLA partitioning the jitted graph from the annotations.
+
+def dp_size(mesh: Mesh) -> int:
+    return mesh.shape[DATA_AXIS]
+
+
+def pad_batch_to_multiple(arr: np.ndarray, m: int) -> np.ndarray:
+    """Zero-pad the leading dim up to a multiple of ``m`` (shard rows must
+    divide evenly; padded rows are sliced off after the dispatch)."""
+    pad = (-arr.shape[0]) % m
+    if pad:
+        arr = np.concatenate(
+            [arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], axis=0
+        )
+    return arr
+
+
+def dp_shard_batch(arr_np, mesh: Mesh):
+    """np batch -> device array sharded on the data axis (leading dim
+    padded to the axis size)."""
+    arr = pad_batch_to_multiple(np.asarray(arr_np), dp_size(mesh))
+    return jax.device_put(arr, batch_sharding(mesh))
+
+
+def dp_replicate(params, mesh: Mesh):
+    """Place a param pytree replicated across the mesh (device_put once at
+    engine construction, not per dispatch)."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+
+
+# ---------------------------------------------------------------------------
 # Parameter shardings (tensor parallelism over the model axis)
 # ---------------------------------------------------------------------------
 
