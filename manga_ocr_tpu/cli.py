@@ -183,12 +183,30 @@ def cmd_process(args) -> int:
             )
             text_proposer = td.craft_proposer(latin)
         elif args.text_proposer == "craft":
+            # Distinguish "not configured" from "configured but missing" —
+            # the same message for both sent users hunting the wrong
+            # problem (ADVICE r3).
+            if craft_ckpt:
+                print(
+                    f"--text-proposer craft: tpu.latin_craft_checkpoint is "
+                    f"set but the file does not exist: {craft_ckpt}",
+                    file=sys.stderr,
+                )
+            else:
+                print(
+                    "--text-proposer craft needs tpu.latin_craft_checkpoint "
+                    "in settings",
+                    file=sys.stderr,
+                )
+            return 1
+        elif craft_ckpt:
+            # auto mode with a configured-but-missing path: note the silent
+            # downgrade instead of hiding it
             print(
-                "--text-proposer craft needs tpu.latin_craft_checkpoint in "
-                "settings",
+                f"note: tpu.latin_craft_checkpoint not found ({craft_ckpt}); "
+                "falling back to the morphological text proposer",
                 file=sys.stderr,
             )
-            return 1
 
     for path in pages:
         page = fio.safe_open_image(path)

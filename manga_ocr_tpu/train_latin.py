@@ -34,6 +34,24 @@ MANIFEST = "manifest.json"
 WEIGHTS = "crnn.npz"
 
 
+def _ctc_frames(width: int) -> int:
+    """CTC time steps the CRNN emits for an input of ``width`` columns
+    (W/4 - 1 at the production conv geometry, engine/latin.py)."""
+    return width // 4 - 1
+
+
+def _check_ctc_frames(width: int, max_chars: int) -> None:
+    """CTC cannot align more labels than frames; e.g. --width 32
+    --max-chars 16 gives 7 frames for up-to-16 labels and optax.ctc_loss
+    silently produces degenerate per-sequence losses (ADVICE r3)."""
+    frames = _ctc_frames(width)
+    if frames < max_chars:
+        raise ValueError(
+            f"width {width} yields only {frames} CTC frames (< max_chars "
+            f"{max_chars}); use width >= {(max_chars + 1) * 4}"
+        )
+
+
 class CtcBatch(NamedTuple):
     images: jax.Array  # [B, H, W, 1] normalized gray
     labels: jax.Array  # [B, N] int32 class ids (1-based; 0 = blank)
@@ -105,6 +123,7 @@ def synthetic_line_dataset(
     1-based — 0 is the CTC blank)."""
     rng = np.random.default_rng(seed)
     h = cfg.input_height
+    _check_ctc_frames(width, max_chars)
 
     while True:
         images = np.zeros((batch_size, h, width, 1), np.float32)
@@ -143,6 +162,7 @@ def directory_line_dataset(
 
     from manga_ocr_tpu.engine.latin import _resize_gray
 
+    _check_ctc_frames(width, max_chars)
     idx = {c: i + 1 for i, c in enumerate(charset)}
     items: list[tuple[np.ndarray, list[int]]] = []
     for name in sorted(os.listdir(data_dir)):
@@ -162,6 +182,14 @@ def directory_line_dataset(
         if not text or len(text) > max_chars or any(c not in idx for c in text):
             print(f"train_latin: skipping {stem} (empty/too long/out-of-charset)")
             continue
+        if len(text) > _ctc_frames(width):
+            # CTC needs >= one frame per label; silently keeping the pair
+            # would train against a degenerate per-sequence loss
+            print(
+                f"train_latin: skipping {stem} ({len(text)} labels > "
+                f"{_ctc_frames(width)} CTC frames at --width {width})"
+            )
+            continue
         gray = np.asarray(Image.open(img_path).convert("L"), np.uint8)
         h, w = gray.shape
         nw = min(width, max(8, int(round(w * cfg.input_height / max(h, 1)))))
@@ -174,7 +202,11 @@ def directory_line_dataset(
         hh = cfg.input_height
         while True:
             picks = rng.integers(0, len(items), size=batch_size)
-            images = np.zeros((batch_size, hh, width, 1), np.float32)
+            # Pad value -1.0 = the serving distribution: recognize_lines
+            # zero-pads the uint8 batch BEFORE normalizing, so the tail a
+            # fine-tuned model sees at inference is (0/255-0.5)/0.5 = -1.0
+            # (black), not 0.0 (mid-gray).
+            images = np.full((batch_size, hh, width, 1), -1.0, np.float32)
             labels = np.zeros((batch_size, max_chars), np.int32)
             paddings = np.ones((batch_size, max_chars), np.float32)
             for row, k in enumerate(picks):
@@ -265,9 +297,36 @@ def main(argv=None) -> int:
     p.add_argument("--log-every", type=int, default=50)
     args = p.parse_args(argv)
 
+    try:
+        _check_ctc_frames(args.width, args.max_chars)
+    except ValueError as e:
+        p.error(str(e))
+
     charset = args.charset
     if args.init and os.path.isdir(args.init):
         params, cfg, charset = load_crnn_checkpoint(args.init)
+        # The checkpoint manifest is authoritative for architecture +
+        # charset; an explicitly-passed conflicting flag would otherwise be
+        # silently ignored (ADVICE r3) — fail loudly instead.
+        conflicts = [
+            (flag, passed, got)
+            for flag, passed, got in (
+                ("--charset", args.charset, charset),
+                ("--hidden-size", args.hidden_size, cfg.hidden_size),
+                ("--output-channel", args.output_channel, cfg.output_channel),
+            )
+            if passed != p.get_default(flag.lstrip("-").replace("-", "_"))
+            and passed != got
+        ]
+        if conflicts:
+            p.error(
+                "; ".join(
+                    f"{flag}={passed!r} conflicts with the --init checkpoint "
+                    f"manifest ({got!r}); drop the flag (the manifest is "
+                    "authoritative) or train from scratch"
+                    for flag, passed, got in conflicts
+                )
+            )
     elif args.init:  # torch .pth
         from manga_ocr_tpu.models import convert_latin as cl
 

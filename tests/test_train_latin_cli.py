@@ -62,6 +62,63 @@ def test_directory_line_dataset(tmp_path):
     assert (np.asarray(batch.label_paddings) == 0).any(axis=1).all()
 
 
+def test_directory_dataset_pads_with_serving_value(tmp_path):
+    """Padded tail must match the serving distribution: recognize_lines
+    zero-pads uint8 then normalizes, giving -1.0 (black) — not 0.0
+    (mid-gray), which would shift fine-tuned models at inference
+    (ADVICE r3)."""
+    from PIL import Image
+
+    data = tmp_path / "lines"
+    data.mkdir()
+    Image.fromarray(np.full((20, 24), 128, np.uint8), "L").save(data / "a.png")
+    (data / "a.txt").write_text("12")
+    ds = tl.directory_line_dataset(
+        str(data), CFG, CHARSET, batch_size=1, width=96, max_chars=6, seed=0
+    )
+    batch = next(ds)
+    img = np.asarray(batch.images)[0, :, :, 0]
+    # the 24-col crop is widened to input_height aspect; the far tail is pad
+    assert (img[:, -8:] == -1.0).all()
+    # and the written region is the normalized crop, not pad
+    assert not (img[:, :8] == -1.0).all()
+
+
+def test_ctc_frame_guard():
+    """width//4 - 1 frames must cover max_chars (ADVICE r3): generators
+    raise, the CLI errors out before training."""
+    with pytest.raises(ValueError, match="CTC frames"):
+        next(tl.synthetic_line_dataset(CFG, CHARSET, batch_size=1, width=32, max_chars=16))
+    with pytest.raises(SystemExit):
+        tl.main(["--steps", "1", "--width", "32", "--max-chars", "16"])
+
+
+def test_init_dir_flag_conflicts_error(tmp_path):
+    """Explicit --charset/--hidden-size/--output-channel conflicting with a
+    native --init checkpoint manifest must fail loudly, not be silently
+    overridden (ADVICE r3)."""
+    params = crnn_mod.init_crnn_params(CFG, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "ckpt"
+    tl.save_crnn_checkpoint(str(ckpt), params, CFG, CHARSET)
+    with pytest.raises(SystemExit):
+        tl.main(
+            ["--steps", "1", "--init", str(ckpt), "--charset", "abcdef",
+             "--width", "64", "--max-chars", "4"]
+        )
+    with pytest.raises(SystemExit):
+        tl.main(
+            ["--steps", "1", "--init", str(ckpt), "--hidden-size", "999",
+             "--width", "64", "--max-chars", "4"]
+        )
+    # matching explicit flags (or none) are fine
+    rc = tl.main(
+        ["--steps", "1", "--batch-size", "1", "--init", str(ckpt),
+         "--charset", CHARSET, "--width", "64", "--max-chars", "4",
+         "--log-every", "0"]
+    )
+    assert rc == 0
+
+
 def test_directory_line_dataset_empty_errors(tmp_path):
     with pytest.raises(ValueError):
         tl.directory_line_dataset(
