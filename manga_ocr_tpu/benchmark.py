@@ -1,38 +1,85 @@
 """Benchmark: bubble-crop OCR decodes/sec/chip on the full-size model.
 
-Two measurements on the real TPU chip (bf16, int8 fused serving config,
-32-token decode budget — representative of manga bubble text; with random
-weights no EOS fires, so every row pays all 32 steps: worst-case):
+Driver contract: ``python bench.py`` prints scored JSON lines
+({"metric", "value", "unit", "vs_baseline"} + extra keys) to stdout; the
+LAST line printed is the most complete.  ``vs_baseline`` is value / 5000 —
+the driver-set north-star target (BASELINE.json); the reference itself
+publishes no numbers (BASELINE.md) and its per-crop CPU path
+(main_window.py:9801) is orders of magnitude slower.
 
-1. **model-only headline** (the scored metric, methodology unchanged since
-   round 1): pre-generated on-device pixels through encode + greedy decode,
-   lengths read back — isolates the TPU program.
-2. **full serving path** (BASELINE.json config #4): uint8 crops on host →
-   ``engine.ocr_page`` → bucket/pad → host→device transfer →
-   ``model_preprocess`` in-graph → encode → decode → token readback →
-   detokenize.  This is what a production caller observes.
+Round-3 postmortem (VERDICT r3 #1): the old bench ran a full-path
+subprocess FIRST and printed the scored line only at the very end, so one
+driver timeout scored the round zero.  This rewrite is built around three
+facts measured on this runtime (scripts/perf_compile_times.py, docs/PERF.md):
 
-Prints ONE JSON line.  The scored fields stay
-{"metric", "value", "unit", "vs_baseline"}; extra keys report the
-full-path number, the per-stage split, and MFU (achieved model FLOP/s over
-the v5e bf16/int8 peak — utils/metrics.model_flops_per_crop).
-``vs_baseline`` is value / 5000 — the driver-set north-star target
-(BASELINE.json); the reference itself publishes no numbers (BASELINE.md)
-and its per-crop CPU path (main_window.py:9801) is orders of magnitude
-slower.
+1. cold-cache compile cost is wildly bimodal — the fused-encoder +
+   XLA-decode config compiles in ~13 s but the decode mega-kernel takes
+   ~19 min, and persistent-cache keys for the big programs are unstable
+   across time, so ANY run may find the cache cold;
+2. timeout-killing a TPU client wedges the remote compile service for
+   tens of minutes — nothing here may ever be killed mid-compile;
+3. the TPU runtime is single-tenant per process — phases that need the
+   chip run in sequenced child processes, never concurrently.
+
+Structure: a no-TPU parent orchestrates child processes under one wall
+budget (``BENCH_BUDGET_S``, default 480 s):
+
+- phase A (``--model-only``): rung 1 = fast-compiling serving variant
+  (fused int8 encoder kernels + XLA decode) — a scored line lands within
+  ~90 s even fully cold; rung 2 = the full serving config (decode
+  mega-kernel), attempted only while budget remains — cache-hit ≈ +30 s
+  for the better number, cache-miss overruns harmlessly (see below).
+- phase B (``--full-path``): the full serving path (uint8 crops →
+  ``engine.ocr_pages`` → strings) in its own process (its readback loop
+  is measurably distorted by a prior model-only phase in-process).
+- phase C (``--budget300``): the reference's real decode budget
+  (max_length=300) under the committed realistic length distribution
+  (median ~12 tokens) through the PRODUCTION early-exit machinery
+  (mega-kernel ``stop_lengths``) — VERDICT r3 #6.
+
+Every improvement is printed immediately as a complete JSON line and
+flushed, so even a SIGKILL from the driver's own timeout preserves the
+best score measured so far.  A child that overruns the budget (a cold
+mega-kernel compile) is ABANDONED, not killed: the parent prints the
+final merged line and exits while the orphan finishes compiling and
+seeds the persistent cache for the next run.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 MAX_NEW_TOKENS = 32
 BATCH_SIZES = (256, 384)
 NORTH_STAR = 5000.0
+DEFAULT_BUDGET_S = 480.0
+# Committed realistic bubble-length distribution (token counts incl.
+# BOS/EOS; median e^2.5 ~ 12 — typical manga bubbles run 5-30 chars).
+LOGNORMAL_MU, LOGNORMAL_SIGMA = 2.5, 0.55
+LENGTH_CLIP = (4, 48)
+
+
+def _deadline() -> float:
+    try:
+        return float(os.environ["BENCH_DEADLINE_TS"])
+    except (KeyError, ValueError):
+        return time.time() + DEFAULT_BUDGET_S
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload), flush=True)
+
+
+def _note(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Measurement primitives (run inside TPU child processes)
+# ---------------------------------------------------------------------------
 
 
 def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
@@ -46,10 +93,11 @@ def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
     ``iters=16``: at pipeline depth 6 the drain edge (the gap between the
     last issue and the first readback) is still ~7% of the window —
     measured 3817 → 4094 crops/s going 6 → 16 at B=256
-    (scripts/perf_dispatch_amortize.py).  Depth 16 amortizes it to <2%;
-    per-call host issue cost is ~1 ms (measured) so deeper pipelines are
-    purely more steady-state.
-    """
+    (scripts/perf_dispatch_amortize.py).  Three timing rounds, best
+    sustained rate: the tunnel adds occasional multi-ms stalls that a
+    single round folds into the mean."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     px = jax.jit(
@@ -57,9 +105,6 @@ def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
     )(jax.random.PRNGKey(1))
     _ = np.asarray(fn(params, px).lengths)  # compile + warm
     best_dt = float("inf")
-    # three timing rounds, best sustained rate: the tunnel adds occasional
-    # multi-ms stalls (and run-scale bandwidth swings, docs/PERF.md) that a
-    # single round folds into the mean
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [fn(params, px) for _ in range(iters)]
@@ -67,6 +112,175 @@ def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
             np.asarray(o.lengths)
         best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
     return batch / best_dt
+
+
+def _serving_params():
+    """Random full-size weights in the int8+bf16 serving form.
+
+    Built on the CPU backend, then shipped to the device in one put: the
+    init + quantization graphs are dozens of small programs whose
+    compile/dispatch round-trips through the remote tunnel cost minutes,
+    vs seconds locally + one ~60 MB transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.engine.engine import _cast_quantized
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.models.quantize import quantize_encoder
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def build():
+        params_f32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
+        params = mdl.cast_params(params_f32, jnp.bfloat16)
+        params["encoder"] = _cast_quantized(
+            quantize_encoder(params_f32["encoder"], quantize_attn_proj=True),
+            jnp.bfloat16,
+        )
+        return params
+
+    if cpu is None or jax.default_backend() == "cpu":
+        return build()
+    with jax.default_device(cpu):
+        params = jax.tree.map(lambda x: jnp.asarray(x), build())
+    return jax.device_put(params, jax.devices()[0])
+
+
+def _scored(value: float, config: str, extra: dict | None = None) -> dict:
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.utils import metrics as M
+
+    flops_crop = M.model_flops_per_crop(MangaOCRConfig.serving(), MAX_NEW_TOKENS)
+    out = {
+        "metric": "bubble_crop_ocr_decodes_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(value / NORTH_STAR, 3),
+        "config": config,
+        "model_gflops_per_crop": round(flops_crop / 1e9, 2),
+        "mfu_vs_bf16_peak": round(M.mfu(value, flops_crop, M.V5E_PEAK_BF16), 4),
+        "mfu_vs_int8_peak": round(M.mfu(value, flops_crop, M.V5E_PEAK_INT8), 4),
+    }
+    out.update(extra or {})
+    return out
+
+
+def run_model_only() -> None:
+    """Phase A child: the scored model-only measurement, as a rung ladder.
+
+    Rung 1 (fast compile, ~13 s cold) prints a scored line almost
+    immediately; rung 2 (decode mega-kernel, the best-known config)
+    upgrades it when the budget allows.  Each improvement prints a full
+    line and flushes — the parent forwards them as they arrive."""
+    import dataclasses
+
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.utils import jax_cache
+
+    deadline = _deadline()
+    t0 = time.time()
+    jax_cache.enable()
+    params = _serving_params()
+    _note(f"model-only: params ready at t={time.time() - t0:.1f}s")
+    serving = MangaOCRConfig.serving()
+    fast = dataclasses.replace(
+        serving,
+        decoder=dataclasses.replace(
+            serving.decoder, step_kernel="xla", head_phased=False
+        ),
+    )
+
+    best = 0.0
+    # Rung 1: fused int8 encoder + XLA decode.  ~13 s cold compile per
+    # batch size (scripts/perf_compile_times.py) — the guaranteed line.
+    fast_fn = mdl.make_jitted_ocr(fast, max_length=MAX_NEW_TOKENS,
+                                  chunk_size=MAX_NEW_TOKENS)
+    for i, b in enumerate(BATCH_SIZES):
+        if i > 0 and time.time() > deadline - 45:
+            _note(f"model-only: skipping rung-1 B={b} (budget)")
+            break
+        rate = bench_batch(fast_fn, params, b)
+        _note(f"model-only rung 1 B={b}: {rate:.1f} crops/s (t={time.time() - t0:.1f}s)")
+        if rate > best:
+            best = rate
+            _emit(_scored(best, f"fused-enc+xla-decode B={b}"))
+
+    # Rung 2: the full serving config (whole-decode-loop mega-kernel).
+    # Warm dispatch is ~30% faster than rung 1; cold compile is ~19 min —
+    # attempted whenever meaningful budget remains because a cache hit is
+    # cheap and a miss merely overruns this child (the parent abandons it
+    # and the finished compile seeds the cache for the next run).
+    serving_fn = mdl.make_jitted_ocr(serving, max_length=MAX_NEW_TOKENS,
+                                     chunk_size=MAX_NEW_TOKENS)
+    for b in BATCH_SIZES:
+        if time.time() > deadline - 60:
+            _note(f"model-only: skipping rung-2 B={b} (budget)")
+            break
+        rate = bench_batch(serving_fn, params, b)
+        _note(f"model-only rung 2 B={b}: {rate:.1f} crops/s (t={time.time() - t0:.1f}s)")
+        if rate > best:
+            best = rate
+            _emit(_scored(best, f"serving(mega-kernel) B={b}"))
+
+
+def committed_lengths(n: int, seed: int = 0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ln = np.exp(rng.normal(LOGNORMAL_MU, LOGNORMAL_SIGMA, size=n))
+    return np.clip(np.round(ln), *LENGTH_CLIP).astype(np.int32)
+
+
+def run_budget300() -> None:
+    """Phase C child: the reference's real decode budget.  max_length=300
+    (SURVEY §2.2 #10) under the committed realistic length distribution,
+    decoded by the PRODUCTION path (mega-kernel chunked early exit via
+    ``stop_lengths`` — token-parity-tested) — so early exit's production
+    value is a scored number, not an argument (VERDICT r3 #6)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+    from manga_ocr_tpu.utils import jax_cache
+
+    jax_cache.enable()
+    b = BATCH_SIZES[0]
+    params = _serving_params()
+    serving = MangaOCRConfig.serving()
+    stops = jnp.asarray(committed_lengths(b))
+
+    @jax.jit
+    def fn(p, x):
+        enc = mdl.encode(p, x, serving)
+        return mdl.greedy_decode(p, enc, serving, max_length=300, stop_lengths=stops)
+
+    px = jax.jit(
+        lambda k: jax.random.normal(k, (b, 224, 224, 3), jnp.bfloat16)
+    )(jax.random.PRNGKey(1))
+    out = fn(params, px)
+    mean_len = float(np.asarray(out.lengths).mean())
+    best_dt = float("inf")
+    iters = 8
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(params, px) for _ in range(iters)]
+        for o in outs:
+            np.asarray(o.lengths)
+        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
+    _emit(
+        {
+            "crops_per_s_budget300_realistic": round(b / best_dt, 1),
+            "budget300_mean_emitted_len": round(mean_len, 1),
+            "budget300_batch": b,
+        }
+    )
 
 
 def bench_full_path(engine, batch: int, iters: int = 6) -> tuple[float, dict]:
@@ -108,15 +322,18 @@ def bench_full_path(engine, batch: int, iters: int = 6) -> tuple[float, dict]:
 
 
 def run_full_path() -> None:
-    """``bench.py --full-path``: the full-serving-path measurement, run in
-    its own process and printing one JSON line.
+    """Phase B child: the full-serving-path measurement (BASELINE.json
+    config #4), in its own process and printing one JSON line.
 
-    Why a separate process: the model-only phase running earlier in the same
-    process was measured to roughly double the streamed loop's readback
-    stage (~65 → ~130 ms/page; docs/PERF.md "bench-process full-path
-    readback inflation"), depressing the streamed rate ~2× below what a
-    dedicated process observes — and a fresh process is also exactly what
-    the number claims to represent: a production caller's serving loop."""
+    Why a separate process: the model-only phase running earlier in the
+    same process was measured to roughly double the streamed loop's
+    readback stage (~65 → ~130 ms/page; docs/PERF.md), and a fresh process
+    is also exactly what the number claims to represent: a production
+    caller's serving loop.  Replaces the reference's 15-thread per-crop
+    queue (main_window.py:4317-4335)."""
+    import jax
+    import jax.numpy as jnp
+
     from manga_ocr_tpu.engine.engine import TpuMangaOcrEngine
     from manga_ocr_tpu.models import model as mdl
     from manga_ocr_tpu.models.config import MangaOCRConfig
@@ -124,107 +341,152 @@ def run_full_path() -> None:
     from manga_ocr_tpu.utils import jax_cache
 
     jax_cache.enable()
-    params_f32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
     engine = TpuMangaOcrEngine(
-        params_f32,
+        mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0)),
         MangaOCRConfig.base(),
         CharTokenizer.synthetic(),
         max_length=MAX_NEW_TOKENS,
         dtype=jnp.bfloat16,
     )
     full_rate, stage_summary = bench_full_path(engine, BATCH_SIZES[0])
-    print(
-        json.dumps(
-            {
-                "full_path_crops_per_s": round(full_rate, 1),
-                "stage_summary": stage_summary,
-            }
-        )
+    _emit(
+        {
+            "full_path_crops_per_s": round(full_rate, 1),
+            "stage_summary": stage_summary,
+        }
     )
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestration (never touches the TPU)
+# ---------------------------------------------------------------------------
+
+
+def _spawn(flag: str, deadline: float):
+    """Start a bench child with the deadline in its env; stdout piped."""
+    import subprocess
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    env["BENCH_DEADLINE_TS"] = repr(deadline)
+    return subprocess.Popen(
+        [sys.executable, "-m", "manga_ocr_tpu.benchmark", flag],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        env=env,
+    )
+
+
+def _stream_child(proc, deadline: float, on_line) -> bool:
+    """Forward the child's JSON lines to ``on_line`` as they arrive.
+
+    Returns True if the child exited before ``deadline``.  On overrun the
+    child is ABANDONED (never killed: killing a TPU client mid-compile
+    wedges the remote compile service, docs/PERF.md; the orphan finishes
+    its compile, seeds the persistent cache, then dies on the closed
+    pipe)."""
+    import selectors
+
+    fd = proc.stdout.fileno()
+    os.set_blocking(fd, False)
+    sel = selectors.DefaultSelector()
+    sel.register(fd, selectors.EVENT_READ)
+    buf = b""
+
+    def drain() -> None:
+        nonlocal buf
+        while True:
+            try:
+                chunk = os.read(fd, 65536)
+            except BlockingIOError:
+                return
+            if not chunk:
+                return
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                text = line.decode("utf-8", "replace")
+                if text.startswith("{"):
+                    on_line(json.loads(text))
+
+    while True:
+        if proc.poll() is not None:
+            drain()
+            return True
+        if time.time() > deadline:
+            drain()
+            _note("bench parent: child overran its budget; abandoning it "
+                  "(not killed — it will finish and seed the compile cache)")
+            return False
+        if sel.select(timeout=1.0):
+            drain()
 
 
 def main() -> None:
-    # Full serving path (config #4 methodology) in a dedicated subprocess —
-    # see run_full_path for why.  Sequenced FIRST, before this process
-    # initializes the TPU backend, so the two processes never hold the chip
-    # at the same time (TPU runtimes are single-tenant per process).
-    full_rate, stage_summary = 0.0, {}
+    t0 = time.time()
     try:
-        import os as _os
-        import subprocess
-        import sys as _sys
+        budget = float(os.environ.get("BENCH_BUDGET_S", DEFAULT_BUDGET_S))
+    except ValueError:
+        budget = DEFAULT_BUDGET_S
+    hard_deadline = t0 + budget
+    state: dict = {}
 
-        # Make the child able to import this package regardless of cwd or
-        # install state (e.g. `python /root/repo/bench.py` from elsewhere).
-        _pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-        _env = dict(_os.environ)
-        _env["PYTHONPATH"] = _pkg_root + _os.pathsep + _env.get("PYTHONPATH", "")
-        proc = subprocess.run(
-            [_sys.executable, "-m", "manga_ocr_tpu.benchmark", "--full-path"],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-            env=_env,
-        )
-        print(proc.stderr[-2000:], file=_sys.stderr)
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                d = json.loads(line)
-                full_rate = d["full_path_crops_per_s"]
-                stage_summary = d["stage_summary"]
-    except Exception:
-        pass
+    def absorb(d: dict) -> None:
+        # scored lines only ever improve the kept value; extra-key lines
+        # (full-path, budget-300) merge in
+        if "value" not in d or d["value"] > state.get("value", -1.0):
+            state.update(d)
+        if "value" in state:
+            _emit(state)
 
-    from manga_ocr_tpu.models import model as mdl
-    from manga_ocr_tpu.models.config import MangaOCRConfig
-    from manga_ocr_tpu.utils import jax_cache
-    from manga_ocr_tpu.utils import metrics as M
+    # Phase A: model-only (the scored number) — most of the budget.
+    a_deadline = min(hard_deadline - 90, t0 + 0.65 * budget)
+    proc = _spawn("--model-only", a_deadline)
+    a_done = _stream_child(proc, a_deadline, absorb)
 
-    jax_cache.enable()
+    if "value" not in state:
+        # Nothing measured (wedged runtime / import failure): report the
+        # failure as a parseable line rather than dying silently.
+        state.update(_fail_line())
+        _emit(state)
 
-    from manga_ocr_tpu.models.quantize import quantize_encoder
+    # Phase B: full path — needs the chip, so only if phase A's child is
+    # actually gone; report the field as 0.0 otherwise (honest: not
+    # measured this run).
+    if a_done and time.time() < hard_deadline - 60:
+        proc = _spawn("--full-path", hard_deadline - 20)
+        b_done = _stream_child(proc, hard_deadline - 20, absorb)
+    else:
+        b_done = False
+        _note("bench parent: skipping full-path phase (budget)")
+    if "full_path_crops_per_s" not in state:
+        state["full_path_crops_per_s"] = 0.0
+    if "stage_summary" in state:  # compact: headline keeps means only
+        state["full_path_stage_ms"] = {
+            k: v["mean_ms"] for k, v in state.pop("stage_summary").items()
+        }
 
-    # The serving configuration (engine defaults): fused Pallas encoder
-    # kernels + int8 MLP.  Greedy-token parity with the f32 XLA path is
-    # covered by tests/test_fused_encoder.py.
-    from manga_ocr_tpu.engine.engine import _cast_quantized
+    # Phase C: reference decode budget (300) under realistic lengths.
+    if a_done and b_done and time.time() < hard_deadline - 45:
+        proc = _spawn("--budget300", hard_deadline - 10)
+        _stream_child(proc, hard_deadline - 10, absorb)
+    else:
+        _note("bench parent: skipping budget-300 phase (budget)")
 
-    cfg = MangaOCRConfig.serving()
-    params_f32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
-    params = mdl.cast_params(params_f32, jnp.bfloat16)
-    params["encoder"] = _cast_quantized(
-        quantize_encoder(params_f32["encoder"], quantize_attn_proj=True), jnp.bfloat16
-    )
-    # Fixed-length workload (random weights never emit EOS): one decode
-    # chunk == the whole budget, no intermediate early-exit syncs.
-    fn = mdl.make_jitted_ocr(cfg, max_length=MAX_NEW_TOKENS, chunk_size=MAX_NEW_TOKENS)
+    state["bench_wall_s"] = round(time.time() - t0, 1)
+    _emit(state)
 
-    best = 0.0
-    for b in BATCH_SIZES:
-        try:
-            rate = bench_batch(fn, params, b)
-        except Exception:
-            break
-        import sys
 
-        print(f"# model-only B={b}: {rate:.1f} crops/s", file=sys.stderr)
-        best = max(best, rate)
-
-    flops_crop = M.model_flops_per_crop(cfg, MAX_NEW_TOKENS)
-    out = {
+def _fail_line() -> dict:
+    return {
         "metric": "bubble_crop_ocr_decodes_per_sec_per_chip",
-        "value": round(best, 1),
+        "value": 0.0,
         "unit": "crops/s",
-        "vs_baseline": round(best / NORTH_STAR, 3),
-        "full_path_crops_per_s": round(full_rate, 1),
-        "model_gflops_per_crop": round(flops_crop / 1e9, 2),
-        "mfu_vs_bf16_peak": round(M.mfu(best, flops_crop, M.V5E_PEAK_BF16), 4),
-        "mfu_vs_int8_peak": round(M.mfu(best, flops_crop, M.V5E_PEAK_INT8), 4),
-        "full_path_stage_ms": {
-            k: v["mean_ms"] for k, v in stage_summary.items()
-        },
+        "vs_baseline": 0.0,
+        "error": "no measurement completed within the bench budget",
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -232,17 +494,21 @@ if __name__ == "__main__":
 
     _p = _ap.ArgumentParser(
         prog="manga_ocr_tpu.benchmark",
-        description="TPU throughput benchmark; prints ONE JSON line. "
-        "WARNING: runs on (and holds) the local TPU chip.",
+        description="TPU throughput benchmark; prints scored JSON lines. "
+        "WARNING: child flags run on (and hold) the local TPU chip.",
     )
-    _p.add_argument(
-        "--full-path",
-        action="store_true",
-        help="run only the full-serving-path phase (used by the parent "
-        "process; see run_full_path)",
-    )
+    _p.add_argument("--model-only", action="store_true",
+                    help="phase A child: scored model-only rung ladder")
+    _p.add_argument("--full-path", action="store_true",
+                    help="phase B child: full serving path")
+    _p.add_argument("--budget300", action="store_true",
+                    help="phase C child: max_length=300 realistic lengths")
     _args = _p.parse_args()
-    if _args.full_path:
+    if _args.model_only:
+        run_model_only()
+    elif _args.full_path:
         run_full_path()
+    elif _args.budget300:
+        run_budget300()
     else:
         main()

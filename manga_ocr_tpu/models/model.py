@@ -75,10 +75,12 @@ def greedy_decode(
     n_chunks = -(-(max_len - 1) // chunk_size)
     padded_len = 1 + n_chunks * chunk_size  # inner loop never goes OOB
 
-    if dcfg.step_kernel == "fused_loop" and stop_lengths is None:
+    if dcfg.step_kernel == "fused_loop":
         # the ENTIRE greedy loop as ONE Pallas kernel (ops/decode_loop.py):
         # batch-blocked grid, cross-KV slabs + self-cache VMEM-resident,
-        # weights fetched once — token-parity-tested vs this XLA path
+        # weights fetched once — token-parity-tested vs this XLA path.
+        # ``stop_lengths`` passes straight through (same semantics), so the
+        # realistic-length bench instrument measures the PRODUCTION path.
         from manga_ocr_tpu.ops.decode_loop import greedy_decode_loop
 
         # bf16 slabs: they feed batched MXU matmuls and are fetched once per
@@ -87,7 +89,8 @@ def greedy_decode(
             params["decoder"], enc_out, dcfg, int8=False
         )
         tokens, lengths = greedy_decode_loop(
-            params["decoder"], cross_packed, dcfg, steps=max_len - 1, dtype=dtype
+            params["decoder"], cross_packed, dcfg, steps=max_len - 1,
+            dtype=dtype, stop_lengths=stop_lengths,
         )
         return GreedyResult(tokens[:, :max_len], jnp.minimum(lengths, max_len))
 

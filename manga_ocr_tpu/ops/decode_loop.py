@@ -122,6 +122,7 @@ def _decode_loop_kernel(
     final_ln_in_kernel: bool = False,
     chains: int = 1,
     head_phased: bool = False,
+    has_stops: bool = False,
 ):
     nc = len(_COMMON_NAMES)
     common = dict(zip(_COMMON_NAMES, args[:nc]))
@@ -147,6 +148,14 @@ def _decode_loop_kernel(
         lw = dict(zip(_LAYER_NAMES, args[off : off + len(_LAYER_NAMES)]))
         off += len(_LAYER_NAMES)
         layers.append((cross, lw))
+    stops_ref = None
+    if has_stops:
+        # [g, 1] int32 forced stop lengths (benchmark instrument — mirrors
+        # model.greedy_decode's ``stop_lengths``: rows behave as if EOS
+        # fired at that length, so chunked early exit is measurable under a
+        # realistic length distribution even with random weights)
+        stops_ref = args[off]
+        off += 1
     tok_ref, len_ref = args[off], args[off + 1]
     off2 = off + 2
     caches = args[off2 : off2 + 2 * num_layers]  # ck/cv VMEM scratch
@@ -456,7 +465,10 @@ def _decode_loop_kernel(
         live = jnp.logical_and(jnp.logical_not(done), t < steps)
         len_ref[sl] = len_ref[sl] + jnp.where(live, 1, 0)
         prev_ref[sl] = nxt
-        done_ref[sl] = jnp.logical_or(done, nxt == eos).astype(jnp.int32)
+        newly_done = nxt == eos
+        if has_stops:  # same semantics as model.greedy_decode's instrument
+            newly_done = jnp.logical_or(newly_done, t + 2 >= stops_ref[sl])
+        done_ref[sl] = jnp.logical_or(done, newly_done).astype(jnp.int32)
 
     jax.lax.fori_loop(0, -(-steps // EXIT_CHUNK), one_chunk, 0)
 
@@ -506,6 +518,7 @@ def _loop_call(
     cross_ws: tuple = (),  # per-layer (cwk, cbk, cwv, cbv) (fuse_kv mode)
     chains: int = 1,  # independent interleaved row-chains per program
     head_phased: bool = False,  # vocab head: all matmuls first, tree argmax
+    stops=None,  # [B, 1] int32 forced stop lengths (bench instrument)
 ):
     g = pick_group(batch, group)
     if g % chains or (not interpret and (g // chains) % 8):
@@ -542,6 +555,11 @@ def _loop_call(
             flat_inputs += [K, V]
         in_specs += [const(a.shape) for a in layer_ws[l]]
         flat_inputs += list(layer_ws[l])
+    if stops is not None:
+        in_specs.append(
+            pl.BlockSpec((g, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        flat_inputs.append(stops)
 
     kernel = functools.partial(
         _decode_loop_kernel,
@@ -550,7 +568,7 @@ def _loop_call(
         gelu=_gelu_fn(gelu_mode), head_gelu=_gelu_fn("erf"), ablate=ablate,
         vocab_tile=vocab_tile, fuse_kv=fuse_kv,
         final_ln_in_kernel=fuse_kv and final_ln is not None,
-        chains=chains, head_phased=head_phased,
+        chains=chains, head_phased=head_phased, has_stops=stops is not None,
     )
     scratch = [pltpu.VMEM((g, steps, d), dt) for _ in range(2 * num_layers)]
     if fuse_kv:
@@ -596,6 +614,7 @@ def greedy_decode_loop(
     enc_final_ln: dict | None = None,  # encoder final-LN params
     chains: int | None = None,  # None -> cfg.loop_chains
     head_phased: bool | None = None,  # None -> cfg.head_phased
+    stop_lengths=None,  # [B] int32 forced stops (bench instrument)
 ) -> tuple[jax.Array, jax.Array]:
     """Run ``steps`` greedy decode steps entirely inside one Pallas kernel.
 
@@ -736,5 +755,8 @@ def greedy_decode_loop(
         vocab_tile=vocab_tile, fuse_kv=fuse_kv, enc=enc_raw,
         final_ln=final_ln, cross_ws=tuple(cross_ws),
         chains=chains, head_phased=head_phased,
+        stops=None
+        if stop_lengths is None
+        else jnp.asarray(stop_lengths, jnp.int32).reshape(batch, 1),
     )
     return tokens_bt, lengths_b1[:, 0]
