@@ -441,6 +441,14 @@ def main(argv=None) -> int:
     p.add_argument("--mesh-data", type=int, default=0, help="data-parallel mesh size (0 = no mesh)")
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--export-hf",
+        default="",
+        help="after training, write the final weights as an HF-format "
+        "checkpoint dir (model.safetensors + config.json + vocab.txt) — "
+        "loadable by load_hf_checkpoint, the CLI/serve --checkpoint flag, "
+        "and upstream HF consumers",
+    )
     args = p.parse_args(argv)
 
     from manga_ocr_tpu.models.tokenizer import CharTokenizer
@@ -472,7 +480,7 @@ def main(argv=None) -> int:
         dataset = synthetic_dataset(
             cfg, tok, args.batch_size, args.seq_len, seed=args.seed
         )
-    _, losses = train(
+    trained_params, losses = train(
         cfg,
         dataset,
         steps=args.steps,
@@ -487,6 +495,18 @@ def main(argv=None) -> int:
     )
     for i, loss in enumerate(losses):
         print(f"log[{i}] loss={loss:.4f}")
+    if args.export_hf:
+        import numpy as np
+
+        from manga_ocr_tpu.models.convert import save_hf_checkpoint
+
+        save_hf_checkpoint(
+            args.export_hf,
+            jax.tree.map(np.asarray, trained_params),
+            cfg,
+            tokenizer=tok,
+        )
+        print(f"exported HF-format checkpoint to {args.export_hf}")
     return 0
 
 

@@ -113,6 +113,42 @@ def test_train_cli_smoke(tmp_path, capsys):
     assert "loss=" in capsys.readouterr().out
 
 
+def test_train_cli_export_hf(tmp_path, capsys):
+    """`--export-hf` publishes the trained weights as an HF-format dir the
+    path-based loader (and the CLI/serve `--checkpoint` flag) reads back."""
+    import jax
+    import numpy as np
+
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.convert import load_hf_checkpoint
+    from manga_ocr_tpu.models.tokenizer import CharTokenizer
+
+    out = tmp_path / "hf"
+    rc = trainlib.main(
+        [
+            "--config", "tiny",
+            "--steps", "2",
+            "--batch-size", "2",
+            "--seq-len", "8",
+            "--warmup-steps", "1",
+            "--export-hf", str(out),
+        ]
+    )
+    assert rc == 0
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists()
+    assert (out / "vocab.txt").exists()
+    params, cfg = load_hf_checkpoint(str(out))
+    px = np.random.default_rng(0).normal(
+        size=(2, cfg.encoder.image_size, cfg.encoder.image_size, 3)
+    ).astype(np.float32)
+    res = mdl.make_jitted_ocr(cfg, max_length=8)(params, jax.numpy.asarray(px))
+    texts = CharTokenizer.from_vocab_file(str(out / "vocab.txt")).decode_batch(
+        np.asarray(res.tokens), np.asarray(res.lengths)
+    )
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+
 def test_init_params_seed_finetune():
     """init_params seeds the train state (fine-tune start), bit-exact."""
     cfg = MangaOCRConfig.tiny()
