@@ -133,6 +133,19 @@ def cmd_process(args) -> int:
             detector = _YoloAdapter()
         else:
             detector = BubbleDetector.from_checkpoint(det_ckpt)
+            n_data = int(getattr(args, "mesh_data", 0) or 0)
+            if n_data > 1 and detector.params is not None and not hasattr(
+                detector, "_onnx"
+            ):
+                # same data-parallel mesh as the OCR engine: page batches
+                # shard over the data axis (tests/test_secondary_mesh.py)
+                from manga_ocr_tpu.parallel import mesh as meshlib
+
+                detector = BubbleDetector(
+                    detector.params,
+                    detector.cfg,
+                    mesh=meshlib.make_mesh(n_data),
+                )
 
     translate = None
     if args.translate:
