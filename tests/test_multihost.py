@@ -43,9 +43,26 @@ assert px.shape == (4, 32, 32, 3)
 out = mdl.make_jitted_ocr(cfg, max_length=8)(params, px)
 tokens = mh.gather_to_hosts(out.tokens)
 lengths = mh.gather_to_hosts(out.lengths)
+
+# One TRAIN step over the global mesh: the gradient mean over the global
+# batch is a cross-host all-reduce (Gloo here; DCN on a pod).
+from manga_ocr_tpu import train as trainlib
+opt = trainlib.make_optimizer()
+opt_state = opt.init(params)
+step = trainlib.make_train_step(cfg, opt, mesh)
+tok_rng = np.random.default_rng(7)
+tok_all = tok_rng.integers(4, cfg.decoder.vocab_size, size=(4, 8)).astype(np.int32)
+tok_all[:, 0] = cfg.decoder.bos_token_id
+batch = trainlib.TrainBatch(
+    pixel_values=px,
+    tokens=mh.global_batch(tok_all[2 * pid : 2 * pid + 2], mesh),
+    loss_mask=mh.global_batch(np.ones((2, 8), np.float32), mesh),
+)
+_, _, loss = step(params, opt_state, batch)
 mh.sync("done")
 print("RESULT " + json.dumps(
-    {{"pid": pid, "tokens": tokens.tolist(), "lengths": lengths.tolist()}}
+    {{"pid": pid, "tokens": tokens.tolist(), "lengths": lengths.tolist(),
+      "loss": float(loss)}}
 ), flush=True)
 """
 
@@ -111,6 +128,24 @@ def test_two_process_global_mesh_matches_single_process(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(results[0]["lengths"]), np.asarray(ref.lengths)
     )
+
+    # the cross-host train step agrees across hosts and with the
+    # single-process loss on the same global batch (all-reduce tolerance)
+    assert results[0]["loss"] == results[1]["loss"]
+    from manga_ocr_tpu import train as trainlib
+
+    opt = trainlib.make_optimizer()
+    tok_rng = np.random.default_rng(7)
+    tok_all = tok_rng.integers(4, cfg.decoder.vocab_size, size=(4, 8)).astype(np.int32)
+    tok_all[:, 0] = cfg.decoder.bos_token_id
+    batch = trainlib.TrainBatch(
+        pixel_values=jax.numpy.asarray(full),
+        tokens=jax.numpy.asarray(tok_all),
+        loss_mask=jax.numpy.asarray(np.ones((4, 8), np.float32)),
+    )
+    step = trainlib.make_train_step(cfg, opt)
+    _, _, ref_loss = step(params, opt.init(params), batch)
+    np.testing.assert_allclose(results[0]["loss"], float(ref_loss), rtol=2e-5)
 
 
 def test_make_global_mesh_validation():
