@@ -174,6 +174,14 @@ def main(argv=None) -> int:
         "--mesh-data", type=int, default=0,
         help="shard crop batches over N devices (see cli.py --mesh-data)",
     )
+    p.add_argument(
+        "--dtype", default="bfloat16", choices=("bfloat16", "float32"),
+        help="compute dtype (see cli.py --dtype)",
+    )
+    p.add_argument(
+        "--serving-kernels", default="auto", choices=("auto", "on", "off"),
+        help="fused Pallas+int8 serving config (see cli.py --serving-kernels)",
+    )
     p.add_argument("--window-ms", type=float, default=10.0)
     args = p.parse_args(argv)
 
