@@ -409,7 +409,13 @@ def _stream_child(proc, deadline: float, on_line) -> bool:
                 line, buf = buf.split(b"\n", 1)
                 text = line.decode("utf-8", "replace")
                 if text.startswith("{"):
-                    on_line(json.loads(text))
+                    try:
+                        on_line(json.loads(text))
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        # a malformed child line (library noise, interleaved
+                        # write) must not take down the parent whose whole
+                        # job is preserving the scored lines
+                        _note(f"bench parent: ignoring malformed line {text[:120]!r}")
 
     while True:
         if proc.poll() is not None:
@@ -441,8 +447,15 @@ def main() -> None:
         if "value" in state:
             _emit(state)
 
-    # Phase A: model-only (the scored number) — most of the budget.
-    a_deadline = min(hard_deadline - 90, t0 + 0.65 * budget)
+    # Phase A: model-only (the scored number) — most of the budget.  The
+    # later phases get a reserve only when the budget can afford one: with
+    # a short budget phase A takes everything (abandoning it early to
+    # "save time" for phases that need the chip phase A still holds would
+    # guarantee the value=0 failure line).
+    if budget >= 420:
+        a_deadline = min(hard_deadline - 90, t0 + 0.65 * budget)
+    else:
+        a_deadline = hard_deadline
     proc = _spawn("--model-only", a_deadline)
     a_done = _stream_child(proc, a_deadline, absorb)
 

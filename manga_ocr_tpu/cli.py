@@ -41,7 +41,10 @@ def _build_engine(args):
     serving_kernels = None if sk_flag == "auto" else (sk_flag == "on")
     ckpt = args.checkpoint or os.environ.get("MANGA_OCR_CHECKPOINT", "")
     if ckpt and os.path.isdir(ckpt):
-        params, cfg = load_hf_checkpoint(ckpt, dtype)
+        # Always load f32: the engine casts to the compute dtype itself and
+        # computes int8 quantization scales from the ORIGINAL weights —
+        # loading bf16 here would silently requantize from rounded values.
+        params, cfg = load_hf_checkpoint(ckpt)
         vocab_path = os.path.join(ckpt, "vocab.txt")
         tok = (
             CharTokenizer.from_vocab_file(vocab_path)
@@ -56,7 +59,8 @@ def _build_engine(args):
             file=sys.stderr,
         )
         cfg = MangaOCRConfig.base()
-        params = mdl.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+        # f32 init for the same reason as the checkpoint path above
+        params = mdl.init_params(cfg, jax.random.PRNGKey(0))
         tok = CharTokenizer.synthetic()
     mesh = None
     n_data = int(getattr(args, "mesh_data", 0) or 0)
@@ -132,20 +136,15 @@ def cmd_process(args) -> int:
 
             detector = _YoloAdapter()
         else:
-            detector = BubbleDetector.from_checkpoint(det_ckpt)
+            # same data-parallel mesh as the OCR engine: page batches
+            # shard over the data axis (tests/test_secondary_mesh.py)
             n_data = int(getattr(args, "mesh_data", 0) or 0)
-            if n_data > 1 and detector.params is not None and not hasattr(
-                detector, "_onnx"
-            ):
-                # same data-parallel mesh as the OCR engine: page batches
-                # shard over the data axis (tests/test_secondary_mesh.py)
+            det_mesh = None
+            if n_data > 1:
                 from manga_ocr_tpu.parallel import mesh as meshlib
 
-                detector = BubbleDetector(
-                    detector.params,
-                    detector.cfg,
-                    mesh=meshlib.make_mesh(n_data),
-                )
+                det_mesh = meshlib.make_mesh(n_data)
+            detector = BubbleDetector.from_checkpoint(det_ckpt, mesh=det_mesh)
 
     translate = None
     if args.translate:

@@ -32,30 +32,49 @@ class BubbleDetector:
         min_area: float = 200.0,
         mesh=None,
     ):
-        """``mesh``: optional ``jax.sharding.Mesh`` — page batches are
-        sharded over the data axis (params replicated once); None = single
-        device.  At this model's size data parallelism is the whole
-        multi-chip story (SURVEY §5.8)."""
+        """``mesh``: optional ``jax.sharding.Mesh`` — page batches large
+        enough to split are sharded over the data axis (params replicated
+        once, lazily); smaller batches dispatch single-device (padding a
+        1-page call to dp_size pages would pay n_devices× compute for
+        identical masks).  At this model's size data parallelism is the
+        whole multi-chip story (SURVEY §5.8)."""
         self.cfg = cfg or seg.DetectorConfig()
         self.mesh = mesh
-        if mesh is not None and params is not None:
-            from manga_ocr_tpu.parallel import mesh as meshlib
-
-            params = meshlib.dp_replicate(params, mesh)
         self.params = params
+        self._params_repl = None
         self.min_area = min_area
 
     @staticmethod
-    def from_checkpoint(path: str, cfg: seg.DetectorConfig | None = None):
+    def from_checkpoint(
+        path: str,
+        cfg: seg.DetectorConfig | None = None,
+        mesh=None,
+        min_area: float = 200.0,
+    ):
         """Load detector weights: a converted ``.npz`` pytree, or a real
         ``.onnx`` checkpoint (parsed + executed natively in JAX — the
-        reference's detector family, ``main_window.py:6776-6815``)."""
+        reference's detector family, ``main_window.py:6776-6815``).
+        ``mesh`` applies to the native path only (the ONNX executor is
+        single-device; it ignores the mesh with a stderr note)."""
         if str(path).lower().endswith(".onnx"):
             from manga_ocr_tpu.models.convert_onnx import OnnxBubbleDetector
 
-            return OnnxWrappedDetector(OnnxBubbleDetector.from_file(path))
+            if mesh is not None:
+                import sys
+
+                print(
+                    "note: mesh ignored for .onnx detector checkpoints "
+                    "(single-device executor); convert to the native .npz "
+                    "form for sharded dispatch",
+                    file=sys.stderr,
+                )
+            return OnnxWrappedDetector(
+                OnnxBubbleDetector.from_file(path), min_area=min_area
+            )
         cfg = cfg or seg.DetectorConfig()
-        return BubbleDetector(seg.load_params(path, cfg), cfg)
+        return BubbleDetector(
+            seg.load_params(path, cfg), cfg, min_area=min_area, mesh=mesh
+        )
 
     # -- reference-compatible single-page mask -------------------------------
 
@@ -77,16 +96,19 @@ class BubbleDetector:
         for i, p in enumerate(pages_bgr):
             by_shape.setdefault(p.shape[:2], []).append(i)
         out: list[Optional[np.ndarray]] = [None] * len(pages_bgr)
+        from manga_ocr_tpu.parallel import mesh as meshlib
+
         for (h, w), idxs in by_shape.items():
             rgb = np.stack([pages_bgr[i][..., ::-1] for i in idxs])
-            if self.mesh is not None:
-                from manga_ocr_tpu.parallel import mesh as meshlib
-
+            if self.mesh is not None and len(idxs) >= meshlib.dp_size(self.mesh):
+                if self._params_repl is None:
+                    self._params_repl = meshlib.dp_replicate(self.params, self.mesh)
+                params = self._params_repl
                 pages_dev = meshlib.dp_shard_batch(rgb, self.mesh)
             else:
-                pages_dev = jnp.asarray(rgb)
+                params, pages_dev = self.params, jnp.asarray(rgb)
             masks = np.asarray(
-                seg.segment_pages(self.params, pages_dev, self.cfg, h, w)
+                seg.segment_pages(params, pages_dev, self.cfg, h, w)
             )
             for row, i in enumerate(idxs):
                 out[i] = masks[row]

@@ -85,23 +85,23 @@ class TpuLatinEngine:
         self.det_buckets = det_buckets
         self.rec_width_buckets = rec_width_buckets
 
-    def _replicated(self, params: dict) -> dict:
-        if self.mesh is None:
-            return params
-        from manga_ocr_tpu.parallel import mesh as meshlib
-
-        return meshlib.dp_replicate(params, self.mesh)
-
-    def _batch_dev(self, batch_np: np.ndarray):
-        """Host batch -> device input (data-axis-sharded under a mesh).
-        Callers slice outputs back to the original row count."""
+    def _pick(self, raw_params: dict, cache_attr: str, batch_np: np.ndarray):
+        """(params, device_batch) for one dispatch: data-axis-sharded when
+        the mesh can actually split the batch, single-device otherwise —
+        padding a 1-row batch to dp_size rows would pay n_devices× compute
+        and wire bytes for identical output.  The replicated param copy is
+        placed once and cached per raw pytree."""
         import jax.numpy as jnp
 
-        if self.mesh is None:
-            return jnp.asarray(batch_np)
         from manga_ocr_tpu.parallel import mesh as meshlib
 
-        return meshlib.dp_shard_batch(batch_np, self.mesh)
+        if self.mesh is not None and batch_np.shape[0] >= meshlib.dp_size(self.mesh):
+            cached = getattr(self, cache_attr, None)
+            if cached is None or cached[0] is not raw_params:
+                cached = (raw_params, meshlib.dp_replicate(raw_params, self.mesh))
+                setattr(self, cache_attr, cached)
+            return cached[1], meshlib.dp_shard_batch(batch_np, self.mesh)
+        return raw_params, jnp.asarray(batch_np)
 
     @property
     def craft_params(self) -> dict:
@@ -111,9 +111,6 @@ class TpuLatinEngine:
             self._craft_params = craft_mod.init_craft_params(
                 self.craft_cfg, jax.random.PRNGKey(0)
             )
-        if getattr(self, "_craft_placed", None) is not self._craft_params:
-            self._craft_params = self._replicated(self._craft_params)
-            self._craft_placed = self._craft_params
         return self._craft_params
 
     @property
@@ -124,9 +121,6 @@ class TpuLatinEngine:
             self._crnn_params = crnn_mod.init_crnn_params(
                 self.crnn_cfg, jax.random.PRNGKey(0)
             )
-        if getattr(self, "_crnn_placed", None) is not self._crnn_params:
-            self._crnn_params = self._replicated(self._crnn_params)
-            self._crnn_placed = self._crnn_params
         return self._crnn_params
 
     # -- detection ---------------------------------------------------------
@@ -172,7 +166,8 @@ class TpuLatinEngine:
         rgb, side, h, w, scale = self._prep_for_detection(rgb)
         padded = np.zeros((1, side, side, 3), np.uint8)
         padded[0, :h, :w] = rgb
-        region, affinity = self._craft(self.craft_params, self._batch_dev(padded))
+        p, x = self._pick(self.craft_params, "_craft_repl", padded)
+        region, affinity = self._craft(p, x)
         return self._boxes_from_maps(region[0], affinity[0], h, w, scale)
 
     def detect_boxes_batch(
@@ -193,7 +188,8 @@ class TpuLatinEngine:
             for row, i in enumerate(idxs):
                 rgb, _, h, w, _ = prepped[i]
                 batch[row, :h, :w] = rgb
-            region, affinity = self._craft(self.craft_params, self._batch_dev(batch))
+            p, x = self._pick(self.craft_params, "_craft_repl", batch)
+            region, affinity = self._craft(p, x)
             region = np.asarray(region)
             affinity = np.asarray(affinity)
             for row, i in enumerate(idxs):
@@ -237,9 +233,8 @@ class TpuLatinEngine:
                 batch[row, :, :nw, 0] = resized.astype(np.float32)
                 widths[row] = nw
             batch = (batch / 255.0 - 0.5) / 0.5
-            logits = np.asarray(
-                self._crnn(self.crnn_params, self._batch_dev(batch))
-            )[: len(items)]
+            p, x = self._pick(self.crnn_params, "_crnn_repl", batch)
+            logits = np.asarray(self._crnn(p, x))[: len(items)]
             # valid columns: feature T = W/4 - 1 at the default geometry
             t_valid = np.maximum(widths // 4 - 1, 1)
             decoded = crnn_mod.ctc_greedy(

@@ -286,6 +286,12 @@ def hf_config_dict(cfg: MangaOCRConfig) -> dict:
         },
         "decoder": {
             "model_type": "bert",
+            # The pytree keeps tok_embed and the LM-head projection as
+            # independent tensors; without this flag HF's default tying
+            # would alias them on load and clobber one with the other
+            # (proven by the explicit untied twin in
+            # tests/test_hf_checkpoint_roundtrip.py).
+            "tie_word_embeddings": False,
             "vocab_size": d.vocab_size,
             "hidden_size": d.hidden_size,
             "num_hidden_layers": d.num_layers,

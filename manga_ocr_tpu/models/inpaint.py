@@ -206,29 +206,34 @@ class LamaInpainter:
         cfg: InpaintConfig | None = None,
         mesh=None,
     ):
-        """``mesh``: optional ``jax.sharding.Mesh`` — inpaint batches are
-        sharded on the data axis (params replicated once at construction);
-        None = single device."""
+        """``mesh``: optional ``jax.sharding.Mesh`` — inpaint batches large
+        enough to split are sharded on the data axis (params replicated
+        once, lazily); smaller batches dispatch single-device (padding one
+        region to dp_size regions would pay n_devices× compute for the
+        identical result)."""
         self.cfg = cfg or InpaintConfig()
         self.mesh = mesh
-        if mesh is not None and params is not None:
-            from manga_ocr_tpu.parallel import mesh as meshlib
-
-            params = meshlib.dp_replicate(params, mesh)
         self.params = params
+        self._params_repl = None
 
     def _dispatch(self, imgs: np.ndarray, msks: np.ndarray) -> np.ndarray:
         """[N,H,W,3]/[N,H,W] uint8 (already factor-padded) -> [N,H,W,3]."""
         if self.mesh is not None:
             from manga_ocr_tpu.parallel import mesh as meshlib
 
-            n = imgs.shape[0]
-            imgs_dev = meshlib.dp_shard_batch(imgs, self.mesh)
-            msks_dev = meshlib.dp_shard_batch(msks, self.mesh)
-            out = np.asarray(
-                inpaint_batch(self.params, imgs_dev, msks_dev, self.cfg)
-            )
-            return out[:n]
+            if imgs.shape[0] >= meshlib.dp_size(self.mesh):
+                if self._params_repl is None:
+                    self._params_repl = meshlib.dp_replicate(self.params, self.mesh)
+                n = imgs.shape[0]
+                out = np.asarray(
+                    inpaint_batch(
+                        self._params_repl,
+                        meshlib.dp_shard_batch(imgs, self.mesh),
+                        meshlib.dp_shard_batch(msks, self.mesh),
+                        self.cfg,
+                    )
+                )
+                return out[:n]
         return np.asarray(
             inpaint_batch(self.params, jnp.asarray(imgs), jnp.asarray(msks), self.cfg)
         )

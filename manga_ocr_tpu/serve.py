@@ -118,7 +118,13 @@ def make_handler(service: OcrService):
             if length < 0 or length > MAX_REQUEST_BYTES:
                 self._reply(413, {"error": f"request too large (> {MAX_REQUEST_BYTES} bytes)"})
                 return
-            data = self.rfile.read(length)
+            try:
+                data = self.rfile.read(length)
+            except (ConnectionError, BrokenPipeError):
+                # client reset mid-body (cancellation): nothing to answer,
+                # and no traceback through handle_error per rude client
+                self.close_connection = True
+                return
             try:
                 if self.path == "/ocr":
                     self._reply(200, {"text": service.ocr_bytes(data)})

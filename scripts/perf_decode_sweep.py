@@ -34,15 +34,9 @@ from manga_ocr_tpu.models.config import MangaOCRConfig  # noqa: E402
 from manga_ocr_tpu.models.quantize import quantize_encoder  # noqa: E402
 
 B = 256
-# Committed realistic bubble-length distribution (token counts incl. BOS/EOS)
-LOGNORMAL_MU, LOGNORMAL_SIGMA = 2.5, 0.55  # median e^2.5 ~ 12 tokens
-LENGTH_CLIP = (4, 48)
-
-
-def committed_lengths(n: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    ln = np.exp(rng.normal(LOGNORMAL_MU, LOGNORMAL_SIGMA, size=n))
-    return np.clip(np.round(ln), *LENGTH_CLIP).astype(np.int32)
+# The committed realistic bubble-length distribution lives in ONE place —
+# the bench (its budget-300 phase scores against it); import, don't copy.
+from manga_ocr_tpu.benchmark import committed_lengths  # noqa: E402
 
 
 def main():

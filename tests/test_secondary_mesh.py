@@ -33,14 +33,15 @@ def test_bubble_detector_mesh_parity(mesh):
     cfg = seg.DetectorConfig(input_size=32, base_channels=4, depth=2)
     params = seg.init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    # 3 pages (not a multiple of 8: exercises the pad+slice path), 2 shapes
+    # 9 same-shape pages (>= dp_size 8, not a multiple: pad+slice on the
+    # sharded path) + 1 odd-shape page (< dp_size: single-device fallback)
     pages = [
-        rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8),
-        rng.integers(0, 256, size=(48, 48, 3)).astype(np.uint8),
-        rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8),
-    ]
+        rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8) for _ in range(9)
+    ] + [rng.integers(0, 256, size=(48, 48, 3)).astype(np.uint8)]
     single = BubbleDetector(params, cfg).detect_bubble_masks(pages)
-    sharded = BubbleDetector(params, cfg, mesh=mesh).detect_bubble_masks(pages)
+    det = BubbleDetector(params, cfg, mesh=mesh)
+    sharded = det.detect_bubble_masks(pages)
+    assert det._params_repl is not None  # the big group really sharded
     for a, b in zip(single, sharded):
         np.testing.assert_array_equal(a, b)
 
@@ -51,24 +52,25 @@ def test_lama_inpainter_mesh_parity(mesh):
     cfg = InpaintConfig(base_channels=4, num_blocks=1, downsamples=2)
     params = init_params(cfg, jax.random.PRNGKey(1))
     rng = np.random.default_rng(1)
+    # 9 same-shape regions (sharded path) + 1 odd shape (fallback)
     imgs = [
-        rng.integers(0, 256, size=(24, 20, 3)).astype(np.uint8),
-        rng.integers(0, 256, size=(20, 28, 3)).astype(np.uint8),
-        rng.integers(0, 256, size=(24, 20, 3)).astype(np.uint8),
-    ]
+        rng.integers(0, 256, size=(24, 20, 3)).astype(np.uint8) for _ in range(9)
+    ] + [rng.integers(0, 256, size=(20, 28, 3)).astype(np.uint8)]
     msks = [
         (rng.random(im.shape[:2]) > 0.8).astype(np.uint8) * 255 for im in imgs
     ]
     plain = LamaInpainter(params, cfg)
     shard = LamaInpainter(params, cfg, mesh=mesh)
-    # single-image contract
+    # single-image contract takes the small-batch single-device path
     np.testing.assert_allclose(
         plain(imgs[0], msks[0]), shard(imgs[0], msks[0]), atol=2e-5
     )
+    assert shard._params_repl is None  # 1 region never sharded
     # batched multi-region path groups by shape and preserves order
     a = plain.inpaint_many(imgs, msks)
     b = shard.inpaint_many(imgs, msks)
-    assert len(a) == len(b) == 3
+    assert shard._params_repl is not None  # the 9-region group sharded
+    assert len(a) == len(b) == 10
     for x, y, im in zip(a, b, imgs):
         assert x.shape == im.shape
         np.testing.assert_allclose(x, y, atol=2e-5)
@@ -95,8 +97,15 @@ def test_latin_engine_mesh_parity(mesh):
     shard._crnn_params = plain.crnn_params
 
     rng = np.random.default_rng(2)
-    images = [rng.integers(0, 256, size=(50, 60, 3)).astype(np.uint8) for _ in range(3)]
+    # 9 same-size pages: one 64-bucket batch of 9 >= dp_size -> sharded
+    images = [rng.integers(0, 256, size=(50, 60, 3)).astype(np.uint8) for _ in range(9)]
     assert plain.detect_boxes_batch(images) == shard.detect_boxes_batch(images)
+    assert getattr(shard, "_craft_repl", None) is not None
+    # single page takes the small-batch path, same boxes
+    assert plain.detect_boxes(images[0]) == shard.detect_boxes(images[0])
 
-    crops = [rng.integers(0, 256, size=(14, 30 + 8 * i)).astype(np.uint8) for i in range(3)]
+    crops = [
+        rng.integers(0, 256, size=(14, 28 + 2 * i)).astype(np.uint8) for i in range(9)
+    ]
     assert plain.recognize_lines(crops) == shard.recognize_lines(crops)
+    assert getattr(shard, "_crnn_repl", None) is not None
