@@ -55,7 +55,12 @@ import time
 MAX_NEW_TOKENS = 32
 BATCH_SIZES = (256, 384)
 NORTH_STAR = 5000.0
-DEFAULT_BUDGET_S = 480.0
+# Wall budget: large enough for ONE cold decode-mega-kernel compile
+# (~19 min, scripts/perf_compile_times.py) so a cache-missing run still
+# reaches the best config.  Safe under ANY shorter external timeout: every
+# improvement is printed+flushed the moment it exists, so a kill merely
+# truncates the run at the best line so far.
+DEFAULT_BUDGET_S = 1800.0
 # Committed realistic bubble-length distribution (token counts incl.
 # BOS/EOS; median e^2.5 ~ 12 — typical manga bubbles run 5-30 chars).
 LOGNORMAL_MU, LOGNORMAL_SIGMA = 2.5, 0.55
@@ -212,16 +217,27 @@ def run_model_only() -> None:
 
     # Rung 2: the full serving config (whole-decode-loop mega-kernel).
     # Warm dispatch is ~30% faster than rung 1; cold compile is ~19 min —
-    # attempted whenever meaningful budget remains because a cache hit is
-    # cheap and a miss merely overruns this child (the parent abandons it
-    # and the finished compile seeds the cache for the next run).
+    # attempted whenever budget remains because a cache hit is cheap and a
+    # miss either completes within the (generous) budget or overruns this
+    # child (the parent abandons it and the finished compile seeds the
+    # cache for the next run).  The second batch size is attempted only
+    # when the first went fast (cache-warm): each batch shape is its own
+    # ~19-min Mosaic compile when cold, and a cold B=256 predicts a cold
+    # B=384.
     serving_fn = mdl.make_jitted_ocr(serving, max_length=MAX_NEW_TOKENS,
                                      chunk_size=MAX_NEW_TOKENS)
+    prev_cold = False
     for b in BATCH_SIZES:
         if time.time() > deadline - 60:
             _note(f"model-only: skipping rung-2 B={b} (budget)")
             break
+        if prev_cold:
+            _note(f"model-only: skipping rung-2 B={b} (previous batch size "
+                  "compiled cold; this one would too)")
+            break
+        r_t0 = time.time()
         rate = bench_batch(serving_fn, params, b)
+        prev_cold = time.time() - r_t0 > 240
         _note(f"model-only rung 2 B={b}: {rate:.1f} crops/s (t={time.time() - t0:.1f}s)")
         if rate > best:
             best = rate
@@ -451,9 +467,11 @@ def main() -> None:
     # later phases get a reserve only when the budget can afford one: with
     # a short budget phase A takes everything (abandoning it early to
     # "save time" for phases that need the chip phase A still holds would
-    # guarantee the value=0 failure line).
+    # guarantee the value=0 failure line).  The reserve is capped so a
+    # large budget flows to phase A's cold mega-kernel compile, not to
+    # phases that would be equally cold.
     if budget >= 420:
-        a_deadline = min(hard_deadline - 90, t0 + 0.65 * budget)
+        a_deadline = hard_deadline - min(180.0, 0.25 * budget)
     else:
         a_deadline = hard_deadline
     proc = _spawn("--model-only", a_deadline)
