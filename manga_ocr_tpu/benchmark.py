@@ -55,12 +55,13 @@ import time
 MAX_NEW_TOKENS = 32
 BATCH_SIZES = (256, 384)
 NORTH_STAR = 5000.0
-# Wall budget: large enough for ONE cold decode-mega-kernel compile
-# (~19 min, scripts/perf_compile_times.py) so a cache-missing run still
-# reaches the best config.  Safe under ANY shorter external timeout: every
-# improvement is printed+flushed the moment it exists, so a kill merely
-# truncates the run at the best line so far.
-DEFAULT_BUDGET_S = 1800.0
+# Default wall budget ~8 min (the driver verifies under `timeout 600`):
+# the scored line lands by ~3 min even fully cold.  Set BENCH_BUDGET_S
+# higher (e.g. 1800) to let a cold decode-mega-kernel compile (~19 min,
+# scripts/perf_compile_times.py) finish for the best config — safe under
+# any shorter external timeout, since every improvement is printed+flushed
+# the moment it exists and a kill merely truncates at the best line so far.
+DEFAULT_BUDGET_S = 480.0
 # Committed realistic bubble-length distribution (token counts incl.
 # BOS/EOS; median e^2.5 ~ 12 — typical manga bubbles run 5-30 chars).
 LOGNORMAL_MU, LOGNORMAL_SIGMA = 2.5, 0.55
@@ -87,7 +88,7 @@ def _note(msg: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
+def bench_batch(fn, params, batch: int, iters: int = 16, aot_name: str | None = None) -> float:
     """Steady-state pipelined throughput.
 
     Inputs are generated on-device (serving transfers uint8 pages once; the
@@ -108,6 +109,13 @@ def bench_batch(fn, params, batch: int, iters: int = 16) -> float:
     px = jax.jit(
         lambda k: jax.random.normal(k, (batch, 224, 224, 3), jnp.bfloat16)
     )(jax.random.PRNGKey(1))
+    if aot_name:
+        # Serialized-executable store: sidesteps the time-unstable XLA
+        # cache keys, so the ~19-min Mosaic compiles are paid once per
+        # code state instead of once per run (utils/aot_store.py).
+        from manga_ocr_tpu.utils import aot_store
+
+        fn = aot_store.load_or_compile(fn, (params, px), aot_name, note=_note)
     _ = np.asarray(fn(params, px).lengths)  # compile + warm
     best_dt = float("inf")
     for _ in range(3):
@@ -209,7 +217,7 @@ def run_model_only() -> None:
         if i > 0 and time.time() > deadline - 45:
             _note(f"model-only: skipping rung-1 B={b} (budget)")
             break
-        rate = bench_batch(fast_fn, params, b)
+        rate = bench_batch(fast_fn, params, b, aot_name=f"bench-fast-b{b}")
         _note(f"model-only rung 1 B={b}: {rate:.1f} crops/s (t={time.time() - t0:.1f}s)")
         if rate > best:
             best = rate
@@ -236,7 +244,7 @@ def run_model_only() -> None:
                   "compiled cold; this one would too)")
             break
         r_t0 = time.time()
-        rate = bench_batch(serving_fn, params, b)
+        rate = bench_batch(serving_fn, params, b, aot_name=f"bench-serving-b{b}")
         prev_cold = time.time() - r_t0 > 240
         _note(f"model-only rung 2 B={b}: {rate:.1f} crops/s (t={time.time() - t0:.1f}s)")
         if rate > best:
@@ -280,6 +288,9 @@ def run_budget300() -> None:
     px = jax.jit(
         lambda k: jax.random.normal(k, (b, 224, 224, 3), jnp.bfloat16)
     )(jax.random.PRNGKey(1))
+    from manga_ocr_tpu.utils import aot_store
+
+    fn = aot_store.load_or_compile(fn, (params, px), f"bench-budget300-b{b}", note=_note)
     out = fn(params, px)
     mean_len = float(np.asarray(out.lengths).mean())
     best_dt = float("inf")
@@ -363,6 +374,7 @@ def run_full_path() -> None:
         CharTokenizer.synthetic(),
         max_length=MAX_NEW_TOKENS,
         dtype=jnp.bfloat16,
+        aot=True,  # cross-process executable store: no ~19-min recompiles
     )
     full_rate, stage_summary = bench_full_path(engine, BATCH_SIZES[0])
     _emit(

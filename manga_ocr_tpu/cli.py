@@ -77,6 +77,9 @@ def _build_engine(args):
         serving_kernels=serving_kernels,
         wire=getattr(args, "wire", "gray"),
         coalesce=not getattr(args, "no_coalesce", False),
+        # serve.py defaults the AOT executable store ON (cold-start
+        # elimination); one-shot CLI runs leave it off unless asked
+        aot=not getattr(args, "no_aot", True),
     )
 
 

@@ -99,6 +99,7 @@ class TpuMangaOcrEngine:
         quantize_int8: bool | None = None,
         wire: str = "gray",
         coalesce: bool = True,
+        aot: bool = False,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — every crop batch is
         sharded over the data axis (ICI batch parallelism, SURVEY §5.8);
@@ -248,6 +249,13 @@ class TpuMangaOcrEngine:
         self._unpack_fns: dict = {}  # split signature -> jitted wire unpack
         self._lock = threading.Lock()
         self._warmed: set = set()  # (bucket_hw, padded_batch) pairs compiled
+        # AOT executable store (utils/aot_store.py): serialized compiled
+        # executables reused across processes, sidestepping the
+        # time-unstable XLA cache keys — a production server cold-starts
+        # without the multi-minute Pallas compiles.  Single-device only
+        # (shard_map executables are not serialized).
+        self._aot = bool(aot) and mesh is None
+        self._aot_execs: dict = {}
 
     # -- jitted pipeline ----------------------------------------------------
 
@@ -306,6 +314,32 @@ class TpuMangaOcrEngine:
             with self._lock:
                 fn = self._fns.setdefault(key, run)
         return fn
+
+    def _resolve_fn(self, bucket_hw, args):
+        """The executable for one dispatch: the jitted per-bucket program,
+        or (``aot=True``) a compiled executable from the cross-process
+        store keyed by the device-input shapes."""
+        fn = self._bucket_fn(bucket_hw)
+        if not self._aot:
+            return fn
+        key = (bucket_hw, tuple(a.shape for a in args))
+        exe = self._aot_execs.get(key)
+        if exe is None:
+            import sys
+
+            from manga_ocr_tpu.utils import aot_store
+
+            name = (
+                f"engine-b{bucket_hw[0]}x{bucket_hw[1]}-n{args[0].shape[0]}"
+                f"-l{self.max_length}"
+            )
+            exe = aot_store.load_or_compile(
+                fn, (self.params, *args), name,
+                note=lambda m: print(f"# {m}", file=sys.stderr),
+            )
+            with self._lock:
+                self._aot_execs[key] = exe
+        return exe
 
     def _wire_unpack_fn(self, split_key):
         """Jitted unpack of the fused page wire: one flat uint8 buffer →
@@ -368,7 +402,7 @@ class TpuMangaOcrEngine:
         with stage("dispatch"):
             unpacked = self._wire_unpack_fn(split_key)(dwire)
             for b, (device_arr, device_sizes) in zip(batches, unpacked):
-                fn = self._bucket_fn(b.bucket_hw)
+                fn = self._resolve_fn(b.bucket_hw, (device_arr, device_sizes))
                 self._note_dispatch_shape(b.bucket_hw, b.crops.shape[0])
                 outs.append((b, fn(self.params, device_arr, device_sizes)))
         return outs
@@ -473,8 +507,8 @@ class TpuMangaOcrEngine:
             )
         outs = []
         for b in batches:
-            fn = self._bucket_fn(b.bucket_hw)
             if isinstance(b, batching.PackedBatch):
+                fn = self._bucket_fn(b.bucket_hw)
                 meta = np.concatenate([b.sizes, b.offsets[:, None]], axis=1)
                 with stage("h2d"):
                     flat = jnp.asarray(b.flat)
@@ -506,6 +540,7 @@ class TpuMangaOcrEngine:
                 if timer is not None:
                     jax.block_until_ready(device_arr)
             with stage("dispatch"):
+                fn = self._resolve_fn(b.bucket_hw, (device_arr, device_sizes))
                 packed = fn(self.params, device_arr, device_sizes)
                 outs.append((b, packed))
         return self._finish_dispatch(outs, stage)
@@ -697,7 +732,6 @@ class TpuMangaOcrEngine:
         for hw, n in rounded:
             dummy = np.zeros((n, hw[0], hw[1]), np.uint8)  # gray wire
             sizes = np.full((n, 2), hw, np.int32)
-            fn = self._bucket_fn(hw)
             # place inputs exactly as ocr_page will (sharded under a mesh):
             # jit keys compiled executables on input shardings, so warming
             # with default placement would not cover the sharded dispatches
@@ -708,6 +742,7 @@ class TpuMangaOcrEngine:
                 )
             else:
                 args = (jnp.asarray(dummy), jnp.asarray(sizes))
+            fn = self._resolve_fn(hw, args)  # aot: warm pass seeds the store
             out = fn(self.params, *args)
             np.asarray(out)  # host readback forces completion
             self._warmed.add((hw, n))

@@ -189,6 +189,12 @@ def main(argv=None) -> int:
         help="fused Pallas+int8 serving config (see cli.py --serving-kernels)",
     )
     p.add_argument("--window-ms", type=float, default=10.0)
+    p.add_argument(
+        "--no-aot", action="store_true",
+        help="disable the cross-process AOT executable store (the store "
+        "lets the server cold-start without multi-minute Pallas compiles; "
+        "single-device only)",
+    )
     args = p.parse_args(argv)
 
     from manga_ocr_tpu import cli
