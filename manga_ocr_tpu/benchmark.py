@@ -236,13 +236,21 @@ def run_model_only() -> None:
                                      chunk_size=MAX_NEW_TOKENS)
     prev_cold = False
     for b in BATCH_SIZES:
-        if time.time() > deadline - 60:
+        remaining = deadline - time.time()
+        if remaining < 60:
             _note(f"model-only: skipping rung-2 B={b} (budget)")
             break
         if prev_cold:
             _note(f"model-only: skipping rung-2 B={b} (previous batch size "
                   "compiled cold; this one would too)")
             break
+        if remaining < 1400 and not _aot_stored(serving_fn, params, b,
+                                                f"bench-serving-b{b}"):
+            # no banked executable and not enough budget for the ~19-min
+            # cold Mosaic compile: don't burn the remaining phases on it
+            _note(f"model-only: skipping rung-2 B={b} (no stored executable; "
+                  f"{remaining:.0f}s cannot cover a cold mega-kernel compile)")
+            continue
         r_t0 = time.time()
         rate = bench_batch(serving_fn, params, b, aot_name=f"bench-serving-b{b}")
         prev_cold = time.time() - r_t0 > 240
@@ -250,6 +258,18 @@ def run_model_only() -> None:
         if rate > best:
             best = rate
             _emit(_scored(best, f"serving(mega-kernel) B={b}"))
+
+
+def _aot_stored(fn, params, batch: int, name: str) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from manga_ocr_tpu.utils import aot_store
+
+    px = jax.jit(
+        lambda k: jax.random.normal(k, (batch, 224, 224, 3), jnp.bfloat16)
+    )(jax.random.PRNGKey(1))
+    return aot_store.stored(fn, (params, px), name)
 
 
 def committed_lengths(n: int, seed: int = 0):

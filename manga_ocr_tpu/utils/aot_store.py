@@ -40,6 +40,19 @@ def _fingerprint(lowered) -> str:
     return h.hexdigest()[:20]
 
 
+def stored(fn, args, name: str, store_dir: str | None = None) -> bool:
+    """True when a serialized executable for ``fn(*args)`` exists — lets a
+    budget-limited caller decide whether attempting this program risks a
+    multi-minute cold compile (lowering for the fingerprint costs
+    seconds)."""
+    store = store_dir or os.environ.get("MANGA_OCR_TPU_AOT_DIR", DEFAULT_DIR)
+    try:
+        fp = _fingerprint(fn.lower(*args))
+    except Exception:
+        return False
+    return os.path.exists(os.path.join(store, f"{name}-{fp}.aot"))
+
+
 def load_or_compile(fn, args, name: str, store_dir: str | None = None, note=None):
     """Return a compiled executable for ``fn(*args)``, from the store when
     a matching serialized executable exists, else by compiling (and then
