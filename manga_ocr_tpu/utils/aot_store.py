@@ -27,12 +27,17 @@ import tempfile
 DEFAULT_DIR = os.path.expanduser("~/.cache/manga_ocr_tpu/aot")
 
 
-def _fingerprint(lowered) -> str:
+def _fingerprint(traced) -> str:
+    """Hash of the traced computation (jaxpr text) + toolchain + device
+    set.  NOT the lowered MLIR text: that was observed to drift between
+    runs with identical model code (round-4 finding — a stored executable
+    stopped matching within the hour), while the jaxpr is the actual
+    program semantics and reproduces bit-for-bit across processes."""
     import jax
     import jaxlib
 
     h = hashlib.sha256()
-    h.update(lowered.as_text().encode())
+    h.update(str(traced.jaxpr).encode())
     h.update(jax.__version__.encode())
     h.update(getattr(jaxlib, "__version__", "?").encode())
     h.update(jax.default_backend().encode())
@@ -47,7 +52,7 @@ def stored(fn, args, name: str, store_dir: str | None = None) -> bool:
     seconds)."""
     store = store_dir or os.environ.get("MANGA_OCR_TPU_AOT_DIR", DEFAULT_DIR)
     try:
-        fp = _fingerprint(fn.lower(*args))
+        fp = _fingerprint(fn.trace(*args))
     except Exception:
         return False
     return os.path.exists(os.path.join(store, f"{name}-{fp}.aot"))
@@ -68,8 +73,8 @@ def load_or_compile(fn, args, name: str, store_dir: str | None = None, note=None
 
     say = note or (lambda _msg: None)
     store = store_dir or os.environ.get("MANGA_OCR_TPU_AOT_DIR", DEFAULT_DIR)
-    lowered = fn.lower(*args)
-    fp = _fingerprint(lowered)
+    traced = fn.trace(*args)
+    fp = _fingerprint(traced)
     path = os.path.join(store, f"{name}-{fp}.aot")
     if os.path.exists(path):
         try:
@@ -85,7 +90,7 @@ def load_or_compile(fn, args, name: str, store_dir: str | None = None, note=None
             return compiled
         except Exception as e:  # corrupt/incompatible blob: recompile
             say(f"aot: stored {name} unusable ({type(e).__name__}: {e}); recompiling")
-    compiled = lowered.compile()
+    compiled = traced.lower().compile()
     try:
         os.makedirs(store, exist_ok=True)
         payload, in_tree, out_tree = serialize(compiled)
