@@ -24,4 +24,4 @@ Typeset Tool" (irazawa/Manga-OCR), designed TPU-first:
                   geometry serialization (no GUI deps).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
