@@ -286,6 +286,13 @@ def hf_config_dict(cfg: MangaOCRConfig) -> dict:
         },
         "decoder": {
             "model_type": "bert",
+            # Upstream manga-ocr-base's config.json carries both flags;
+            # without them transformers builds a non-causal BERT with no
+            # cross-attention and silently drops crossattention.* weights
+            # on from_pretrained (warning only) — breaking external HF
+            # consumers of exported checkpoints (ADVICE r4).
+            "is_decoder": True,
+            "add_cross_attention": True,
             # The pytree keeps tok_embed and the LM-head projection as
             # independent tensors; without this flag HF's default tying
             # would alias them on load and clobber one with the other
