@@ -50,6 +50,13 @@ c3 = aot_store.load_or_compile(fn2, args, "probe", note=msgs.append)
 assert msgs[-1].startswith("aot: saved probe"), msgs
 files = [f for f in os.listdir(os.environ["MANGA_OCR_TPU_AOT_DIR"]) if f.endswith(".aot")]
 assert len(files) == 2, files
+
+# the SAME program under a DIFFERENT name loads the existing blob via the
+# fingerprint (the fingerprint is the program identity, the name a label)
+c4 = aot_store.load_or_compile(fn, args, "other-label", note=msgs.append)
+assert msgs[-1].startswith("aot: loaded other-label"), msgs
+assert "via probe-" in msgs[-1], msgs
+np.testing.assert_array_equal(np.asarray(c1(*args)), np.asarray(c4(*args)))
 print("ONE_DEVICE_OK")
 """
 
@@ -75,6 +82,9 @@ def test_store_roundtrip_single_device(tmp_path):
 
 
 def test_corrupt_store_entry_recompiles(tmp_path, monkeypatch):
+    """A blob without the format magic (garbage, or a prior-format file)
+    is treated as absent: ``stored`` says False and ``load_or_compile``
+    recompiles (and re-banks) without ever unpickling it."""
     monkeypatch.setenv("MANGA_OCR_TPU_AOT_DIR", str(tmp_path))
     msgs = []
     fn = jax.jit(lambda a: a * 2)
@@ -82,9 +92,98 @@ def test_corrupt_store_entry_recompiles(tmp_path, monkeypatch):
     aot_store.load_or_compile(fn, args, "x", note=msgs.append)
     (path,) = [tmp_path / f for f in os.listdir(tmp_path) if f.endswith(".aot")]
     path.write_bytes(b"garbage")
+    assert aot_store.stored(fn, args, "x") is False
     c = aot_store.load_or_compile(fn, args, "x", note=msgs.append)
-    assert any("unusable" in m for m in msgs)
+    assert msgs[-1].startswith("aot: saved x"), msgs  # re-banked
+    assert aot_store.stored(fn, args, "x") is True
     np.testing.assert_array_equal(np.asarray(c(*args)), np.full((4,), 2.0))
+
+
+def test_same_fingerprint_visible_across_names(tmp_path, monkeypatch):
+    """The fingerprint IS the program identity: ``stored`` under a
+    different name sees a blob banked under another (e.g. the bench
+    rung-2 program and the trained fixed-32 program are the same jaxpr).
+    The LOAD half of cross-name sharing runs in the 1-device subprocess
+    test (this backend's 8-virtual-device shards reject deserialized
+    executables — the documented degrade path)."""
+    monkeypatch.setenv("MANGA_OCR_TPU_AOT_DIR", str(tmp_path))
+    msgs = []
+    fn = jax.jit(lambda a: a + 1)
+    args = (jnp.ones((4,)),)
+    aot_store.load_or_compile(fn, args, "first-name", note=msgs.append)
+    assert msgs[-1].startswith("aot: saved first-name")
+    assert aot_store.stored(fn, args, "second-name") is True
+    c = aot_store.load_or_compile(fn, args, "second-name", note=msgs.append)
+    np.testing.assert_array_equal(np.asarray(c(*args)), np.full((4,), 2.0))
+
+
+def test_fingerprint_distinguishes_closure_constants(tmp_path, monkeypatch):
+    """Two programs identical in structure but with different baked
+    constants print identical jaxprs; the fingerprint must hash the const
+    VALUES or a stored executable with OLD constants is silently served
+    (ADVICE r4 — e.g. the bench's closed-over stop-length table)."""
+    monkeypatch.setenv("MANGA_OCR_TPU_AOT_DIR", str(tmp_path))
+    args = (jnp.ones((4,)),)
+
+    def make(const_vec):
+        c = np.asarray(const_vec, np.float32)
+        return jax.jit(lambda a: a + c)
+
+    fp1 = aot_store._fingerprint(make([1, 2, 3, 4]).trace(*args))
+    fp2 = aot_store._fingerprint(make([9, 9, 9, 9]).trace(*args))
+    assert fp1 != fp2
+    # and the behavioral end-to-end: the second program must NOT load the
+    # first one's executable
+    msgs = []
+    c1 = aot_store.load_or_compile(make([1, 2, 3, 4]), args, "c", note=msgs.append)
+    c2 = aot_store.load_or_compile(make([9, 9, 9, 9]), args, "c", note=msgs.append)
+    np.testing.assert_array_equal(np.asarray(c1(*args)), [2, 3, 4, 5])
+    np.testing.assert_array_equal(np.asarray(c2(*args)), [10, 10, 10, 10])
+    assert sum(m.startswith("aot: saved c") for m in msgs) == 2, msgs
+
+
+def test_eviction_keeps_newest_per_name(tmp_path, monkeypatch):
+    """The store is bounded: only the KEEP_PER_NAME most-recent blobs per
+    program name survive; other names are untouched (VERDICT r4 #6)."""
+    import time as _time
+
+    monkeypatch.setenv("MANGA_OCR_TPU_AOT_DIR", str(tmp_path))
+    args = (jnp.ones((4,)),)
+    for i in range(aot_store.KEEP_PER_NAME + 3):
+        c = np.full(4, float(i), np.float32)
+        aot_store.load_or_compile(jax.jit(lambda a, c=c: a + c), args, "ev")
+        _time.sleep(0.01)  # distinct mtimes for deterministic LRU order
+    aot_store.load_or_compile(jax.jit(lambda a: a * 3), args, "other")
+    ev = sorted(f for f in os.listdir(tmp_path) if f.startswith("ev-"))
+    other = [f for f in os.listdir(tmp_path) if f.startswith("other-")]
+    assert len(ev) == aot_store.KEEP_PER_NAME, ev
+    assert len(other) == 1
+    # the newest program must be among the survivors (reload hits)
+    msgs = []
+    c = np.full(4, float(aot_store.KEEP_PER_NAME + 2), np.float32)
+    aot_store.load_or_compile(
+        jax.jit(lambda a, c=c: a + c), args, "ev", note=msgs.append
+    )
+    assert msgs and ("loaded ev" in msgs[-1] or "unusable" in msgs[0]), msgs
+
+
+def test_blob_integrity_hash_rejects_tampering(tmp_path, monkeypatch):
+    """A bit-flipped body fails the sha256 header check BEFORE any
+    unpickling happens, and the store degrades to a recompile."""
+    monkeypatch.setenv("MANGA_OCR_TPU_AOT_DIR", str(tmp_path))
+    msgs = []
+    fn = jax.jit(lambda a: a - 1)
+    args = (jnp.ones((4,)),)
+    aot_store.load_or_compile(fn, args, "t", note=msgs.append)
+    (path,) = [tmp_path / f for f in os.listdir(tmp_path) if f.endswith(".aot")]
+    raw = bytearray(path.read_bytes())
+    raw[-1] ^= 0xFF
+    path.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="integrity"):
+        aot_store._read_blob(str(path))
+    c = aot_store.load_or_compile(fn, args, "t", note=msgs.append)
+    assert any("unusable" in m for m in msgs)
+    np.testing.assert_array_equal(np.asarray(c(*args)), np.zeros(4))
 
 
 def test_incompatible_device_set_degrades_to_recompile(tmp_path, monkeypatch):
