@@ -67,8 +67,15 @@ def initialize(
 
 
 def _initialized() -> bool:
-    from jax._src.distributed import global_state
-
+    # Prefer the public probe; fall back to the private client handle on
+    # jax versions without it. Either must NOT initialize the XLA backend.
+    probe = getattr(jax.distributed, "is_initialized", None)
+    if probe is not None:
+        return bool(probe())
+    try:
+        from jax._src.distributed import global_state
+    except ImportError:  # private module moved: assume uninitialized
+        return False
     return global_state.client is not None
 
 
@@ -86,14 +93,26 @@ def make_global_mesh(n_model: int = 1, devices: list | None = None):
         raise ValueError(
             f"{len(devices)} global devices do not divide into model={n_model}"
         )
-    local = jax.local_device_count()
-    if n_model > local:
-        raise ValueError(
-            f"model axis {n_model} exceeds local device count {local}: "
-            "tensor-parallel shards must not cross hosts"
+    # Build the device grid from per-process blocks, NOT a flat reshape of
+    # jax.devices(): with e.g. 4 local devices and n_model=3 a flat
+    # reshape would straddle one model shard across two hosts, silently
+    # routing per-token collectives over DCN (ADVICE r4).  Each host's
+    # block must itself divide into model groups.
+    by_proc: dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    rows = []
+    for pid in sorted(by_proc):
+        block = by_proc[pid]
+        if len(block) % n_model:
+            raise ValueError(
+                f"process {pid} has {len(block)} devices, not divisible by "
+                f"model={n_model}: tensor-parallel shards must not cross hosts"
+            )
+        rows.extend(
+            block[i : i + n_model] for i in range(0, len(block), n_model)
         )
-    arr = np.asarray(devices).reshape(len(devices) // n_model, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(np.asarray(rows, dtype=object), (DATA_AXIS, MODEL_AXIS))
 
 
 def global_batch(local_array: np.ndarray, mesh):

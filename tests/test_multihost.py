@@ -159,3 +159,18 @@ def test_make_global_mesh_validation():
     if n >= 2:
         mesh = mh.make_global_mesh(n_model=2)
         assert dict(mesh.shape)["model"] == 2
+
+
+def test_make_global_mesh_rejects_cross_host_model_shard():
+    """Globally-divisible but per-host-indivisible device sets must be
+    rejected, not silently reshaped across host boundaries (ADVICE r4:
+    4+2 devices with n_model=3 would straddle a TP shard over DCN)."""
+    from manga_ocr_tpu.parallel import multihost as mh
+
+    class FakeDev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    devs = [FakeDev(0)] * 4 + [FakeDev(1)] * 2
+    with pytest.raises(ValueError, match="not divisible"):
+        mh.make_global_mesh(n_model=3, devices=devs)
