@@ -46,6 +46,18 @@ def test_missing_checkpoint_raises():
         MangaOcr("/nonexistent/path/model")
 
 
+def test_uninitialized_constructor_refuses(monkeypatch):
+    """The reference constructor loads real weights or fails
+    (config.py:432-436); without a checkpoint and without the explicit
+    allow_random_weights opt-in, the alias must refuse rather than
+    silently serve random-weight output (VERDICT r4)."""
+    from manga_ocr_tpu.compat import MangaOcr
+
+    monkeypatch.delenv("MANGA_OCR_CHECKPOINT", raising=False)
+    with pytest.raises(RuntimeError, match="allow_random_weights"):
+        MangaOcr()
+
+
 def test_manga_ocr_alias_package():
     """The reference's exact import line (`from manga_ocr import MangaOcr`,
     /root/reference/src/core/config.py:432) must resolve against this
