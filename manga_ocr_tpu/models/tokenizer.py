@@ -140,7 +140,20 @@ class CharTokenizer:
         return CharTokenizer(list(SPECIAL_TOKENS) + ordered)
 
     def encode(self, text: str, add_special: bool = True) -> list[int]:
-        ids = [self.token_to_id.get(ch, self.unk_id) for ch in text]
+        """Char ids with the upstream tokenizer's input conventions: NFKC
+        normalization first (fullwidth ASCII folds to halfwidth, ellipsis
+        decomposes to dots), whitespace never becomes a token — verified
+        against transformers' char-level BertJapaneseTokenizer in
+        tests/test_tokenizer_crosscheck.py.  decode()+post_process then
+        restores fullwidth forms, matching the upstream round trip."""
+        import unicodedata
+
+        text = unicodedata.normalize("NFKC", text)
+        ids = [
+            self.token_to_id.get(ch, self.unk_id)
+            for ch in text
+            if not ch.isspace()
+        ]
         if add_special:
             ids = [self.cls_id] + ids + [self.sep_id]
         return ids
