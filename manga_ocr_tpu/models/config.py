@@ -90,6 +90,12 @@ class EncoderConfig:
     # ~1/127-step quantization noise to logits/probabilities (int8 parity
     # tests cover it).
     attn_sdpa_int8: bool = False
+    # fused_layer attention: pack two adjacent dh=64 heads into one
+    # full-depth K=128 contraction (block-diagonal K/V assembly — the
+    # decoder segment trick applied to the encoder SDPA).  Numerically
+    # equivalent (the zero blocks are additive identity); a measured probe
+    # of the half-MXU dh=64 shape loss (docs/PERF.md round 5).
+    attn_sdpa_headpack: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -102,6 +102,7 @@ def encoder_block(
             batched_sdpa=cfg.batched_sdpa,
             fuse_qkv=cfg.attn_fuse_qkv,
             sdpa_int8=cfg.attn_sdpa_int8,
+            sdpa_headpack=cfg.attn_sdpa_headpack,
             group=cfg.attn_group,
             # x may be seq-padded past seq_len (cfg.seq_pad_to): mask the
             # padded key columns out of the softmax

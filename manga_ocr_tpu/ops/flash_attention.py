@@ -252,6 +252,7 @@ def _attn_core(
     batched_sdpa: bool = False,
     fuse_qkv: bool = False,
     sdpa_int8: bool = False,
+    sdpa_headpack: bool = False,
 ):
     """x + Attention(LN(x)) on an in-VMEM [g, sp, d] value; shared by the
     attention-only and the merged attention+MLP layer kernels.
@@ -347,6 +348,70 @@ def _attn_core(
         else:
             ctx_heads = [_ctx(h, _softmax(_logits(h))) for h in range(heads)]
         ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(g * sp, d)
+    elif sdpa_headpack and heads % 2 == 0:
+        # VERDICT r5 #2(i) probe: pack two ADJACENT dh=64 heads into one
+        # full-depth K=128 contraction via block-diagonal K/V assembly —
+        # the decoder segment-matrix trick applied to the encoder SDPA.
+        #   [Q_h1 | Q_h2] [sp, 2dh]  @  [[K_h1, 0], [0, K_h2]]^T [2dh, 2sp]
+        #     = [Q_h1 K_h1^T | Q_h2 K_h2^T]   (zeros are additive identity)
+        # and symmetrically for PV with [[V_h1, 0], [0, V_h2]] [2sp, 2dh].
+        # Halves the SDPA op count and fills the MXU's K depth; the open
+        # question this probe answers is whether that beats the assembly
+        # cost and the doubled-N zero blocks (same systolic pass count by
+        # the tile model — see docs/PERF.md round 5).
+        zeros = jnp.zeros((sp, dh), x.dtype)
+
+        def _sm(l):
+            if masked:
+                l = jnp.where(keep, l, NEG_INF)
+            m = jnp.max(l, axis=-1, keepdims=True)
+            pr = jnp.exp(l - m)
+            return pr * (1.0 / jnp.sum(pr, axis=-1, keepdims=True))
+
+        ctx_rows = []
+        for b in range(g):
+            outs = []
+            for j in range(heads // 2):
+                sl2 = slice(2 * j * dh, (2 * j + 2) * dh)
+                q2 = q[b, :, sl2]  # [sp, 2dh]
+                k2 = k[b, :, sl2]
+                v2 = v[b, :, sl2]
+                k_bd = jnp.concatenate(
+                    [
+                        jnp.concatenate([k2[:, :dh], zeros], axis=1),
+                        jnp.concatenate([zeros, k2[:, dh:]], axis=1),
+                    ],
+                    axis=0,
+                )  # [2sp, 2dh]
+                logits2 = (
+                    jax.lax.dot_general(
+                        q2,
+                        k_bd,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [sp, 2sp] = [head1 | head2] scores
+                p12 = jnp.concatenate(
+                    [_sm(logits2[:, :sp]), _sm(logits2[:, sp:])], axis=1
+                )
+                v_bd = jnp.concatenate(
+                    [
+                        jnp.concatenate([v2[:, :dh], zeros], axis=1),
+                        jnp.concatenate([zeros, v2[:, dh:]], axis=1),
+                    ],
+                    axis=0,
+                )  # [2sp, 2dh]
+                outs.append(
+                    jax.lax.dot_general(
+                        p12.astype(x.dtype),
+                        v_bd,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [sp, 2dh] = [ctx_h1 | ctx_h2]
+            ctx_rows.append(jnp.concatenate(outs, axis=-1))
+        ctx = jnp.stack(ctx_rows).reshape(g * sp, d)
     else:
         if sdpa_int8:
             # v quantized once per batch row, per OUTPUT column (weight-style:
@@ -438,6 +503,7 @@ def _attn_layer_kernel(
     batched_sdpa: bool = False,
     fuse_qkv: bool = False,
     sdpa_int8: bool = False,
+    sdpa_headpack: bool = False,
 ):
     if fuse_qkv:
         (x_ref, wqkv_ref, wo_ref, sqkv_ref, so_ref, bqkv_ref, bo_ref,
@@ -459,6 +525,7 @@ def _attn_layer_kernel(
         lns_ref, lnb_ref,
         eps=eps, valid_len=valid_len, heads=heads, dh=dh, int8=int8,
         batched_sdpa=batched_sdpa, fuse_qkv=fuse_qkv, sdpa_int8=sdpa_int8,
+        sdpa_headpack=sdpa_headpack,
     )
 
 
@@ -466,7 +533,7 @@ def _attn_layer_kernel(
     jax.jit,
     static_argnames=(
         "num_heads", "eps", "interpret", "group", "batched_sdpa", "parallel_grid",
-        "valid_len", "fuse_qkv", "sdpa_int8",
+        "valid_len", "fuse_qkv", "sdpa_int8", "sdpa_headpack",
     ),
 )
 def fused_attn_layer(
@@ -483,6 +550,7 @@ def fused_attn_layer(
     valid_len: int | None = None,  # true token count when x is seq-padded
     fuse_qkv: bool = False,  # one [d, 3d] q‖k‖v matmul (bit-exact)
     sdpa_int8: bool = False,  # QK^T / PV on the int8 MXU path
+    sdpa_headpack: bool = False,  # two dh=64 heads per K=128 contraction
 ) -> jax.Array:
     """x + Attention(LN(x)) in ONE kernel: no q/k/v/ctx HBM round-trips at
     all; projection matmuls on the int8 MXU path when params are quantized
@@ -498,6 +566,11 @@ def fused_attn_layer(
         raise ValueError(
             "sdpa_int8 is implemented for the per-(batch, head) SDPA loop "
             "only; disable batched_sdpa (it would silently run bf16 SDPA)"
+        )
+    if sdpa_headpack and (sdpa_int8 or batched_sdpa):
+        raise ValueError(
+            "sdpa_headpack is exclusive with sdpa_int8/batched_sdpa "
+            "(one SDPA formulation per kernel)"
         )
     b, s, d = x.shape
     dh = d // num_heads
@@ -539,6 +612,7 @@ def fused_attn_layer(
         batched_sdpa=batched_sdpa,
         fuse_qkv=fuse_qkv,
         sdpa_int8=sdpa_int8,
+        sdpa_headpack=sdpa_headpack,
     )
     out = pl.pallas_call(
         kernel,

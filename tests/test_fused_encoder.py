@@ -362,6 +362,37 @@ def test_sdpa_int8_encode_close(cfg, params):
     assert err.max() < 0.12, err.max()  # int8 weights + int8 SDPA noise
 
 
+def test_sdpa_headpack_encode_close(cfg, params):
+    """attn_sdpa_headpack (two heads per full-depth K contraction via
+    block-diagonal K/V) is numerically equivalent to the per-head loop —
+    the zero blocks are additive identity, so only accumulation order can
+    differ."""
+    px = _pixels(cfg, n=3, seed=31)
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    base = _enc_cfg(cfg, mlp_kernel="fused", attn_kernel="fused_layer")
+    ref = vit.encode(qenc, px, base)
+    got = vit.encode(
+        qenc, px, dataclasses.replace(base, attn_sdpa_headpack=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_sdpa_headpack_exclusive_flags(cfg, params):
+    from manga_ocr_tpu.ops.flash_attention import fused_attn_layer
+
+    qenc = quantize_encoder(params["encoder"], quantize_attn_proj=True)
+    lp = jax.tree.map(lambda x: x[0], qenc["layers"])
+    x = jnp.zeros((2, 5, cfg.encoder.hidden_size), jnp.float32)
+    with pytest.raises(ValueError, match="exclusive"):
+        fused_attn_layer(
+            x, lp["attn"], lp["ln1"]["scale"], lp["ln1"]["bias"],
+            cfg.encoder.num_heads, sdpa_headpack=True, sdpa_int8=True,
+        )
+
+
 def test_sdpa_int8_greedy_tokens_match(cfg, params):
     """Greedy-token parity of the int8 serving path with attn_sdpa_int8 on."""
     px = _pixels(cfg, n=4, seed=29)
