@@ -135,28 +135,73 @@ def bench_batch(fn, params, batch: int, iters: int = 16, aot_name: str | None = 
     return batch / best_dt
 
 
+def _cached_host_tree(key: str, builder):
+    """Host-numpy pytree cached across THIS run's child processes.
+
+    The parent points ``BENCH_PARAMS_CACHE_DIR`` at a per-run tempdir;
+    the first child to need a pytree builds and pickles it, later
+    children load in ~1 s.  Measured: the single-core param init was
+    costing EVERY phase child ~60-70 s of its budget (round-5 rehearsal),
+    which alone pushed the phase chain past the default budget.  Per-run
+    dir ⇒ no cross-code-state staleness."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    cache_dir = os.environ.get("BENCH_PARAMS_CACHE_DIR")
+    path = os.path.join(cache_dir, f"{key}.pkl") if cache_dir else None
+    if path and os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    tree = jax.tree.map(lambda x: np.asarray(x), builder())
+    if path:
+        try:
+            with open(path + ".tmp", "wb") as f:
+                pickle.dump(tree, f)
+            os.replace(path + ".tmp", path)
+        except OSError:
+            pass
+    return tree
+
+
+def _base_params_host():
+    """f32 base() params as a host-numpy pytree (CPU-built; run-cached)."""
+    import jax
+
+    from manga_ocr_tpu.models import model as mdl
+    from manga_ocr_tpu.models.config import MangaOCRConfig
+
+    def build():
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                return mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
+        return mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
+
+    return _cached_host_tree("base-f32", build)
+
+
 def _serving_params():
     """Random full-size weights in the int8+bf16 serving form.
 
     Built on the CPU backend, then shipped to the device in one put: the
     init + quantization graphs are dozens of small programs whose
     compile/dispatch round-trips through the remote tunnel cost minutes,
-    vs seconds locally + one ~60 MB transfer."""
+    vs seconds locally + one ~60 MB transfer.  Both the f32 init and the
+    quantized form are run-cached across phase children."""
     import jax
     import jax.numpy as jnp
 
-    from manga_ocr_tpu.engine.engine import _cast_quantized
-    from manga_ocr_tpu.models import model as mdl
-    from manga_ocr_tpu.models.config import MangaOCRConfig
-    from manga_ocr_tpu.models.quantize import quantize_encoder
-
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-
     def build():
-        params_f32 = mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0))
+        from manga_ocr_tpu.engine.engine import _cast_quantized
+        from manga_ocr_tpu.models import model as mdl
+        from manga_ocr_tpu.models.quantize import quantize_encoder
+
+        params_f32 = jax.tree.map(jnp.asarray, _base_params_host())
         params = mdl.cast_params(params_f32, jnp.bfloat16)
         params["encoder"] = _cast_quantized(
             quantize_encoder(params_f32["encoder"], quantize_attn_proj=True),
@@ -164,10 +209,16 @@ def _serving_params():
         )
         return params
 
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
     if cpu is None or jax.default_backend() == "cpu":
-        return build()
+        host = _cached_host_tree("serving-int8", build)
+        return jax.tree.map(jnp.asarray, host)
     with jax.default_device(cpu):
-        params = jax.tree.map(lambda x: jnp.asarray(x), build())
+        host = _cached_host_tree("serving-int8", build)
+        params = jax.tree.map(lambda x: jnp.asarray(x), host)
     return jax.device_put(params, jax.devices()[0])
 
 
@@ -458,27 +509,36 @@ def run_full_path() -> None:
     from manga_ocr_tpu.utils import jax_cache
 
     jax_cache.enable()
+    t_start = time.time()
     engine = TpuMangaOcrEngine(
-        mdl.init_params(MangaOCRConfig.base(), jax.random.PRNGKey(0)),
+        jax.tree.map(jnp.asarray, _base_params_host()),
         MangaOCRConfig.base(),
         CharTokenizer.synthetic(),
         max_length=MAX_NEW_TOKENS,
         dtype=jnp.bfloat16,
         aot=True,  # cross-process executable store: no ~19-min recompiles
     )
+    _note(f"full-path: engine ready at t={time.time() - t_start:.1f}s")
     # Tunnel-weather defense (VERDICT r4 weak #1): the streamed number is
     # hostage to the tunneled runtime's H2D bandwidth swings (rehearsed
     # floor ~117 ms/page at B=256; a degraded sample measured 197.6 ms and
     # got enshrined in BENCH_r04).  Detect a degraded sample from the
     # stage split, retry once, and LABEL the final number either way.
+    deadline = _deadline()
     best_rate, best_stages, attempts = 0.0, {}, 0
     for attempt in range(2):
         attempts += 1
         rate, stage_summary = bench_full_path(engine, BATCH_SIZES[0])
+        _note(f"full-path: attempt {attempt + 1} measured {rate:.1f} "
+              f"crops/s at t={time.time() - t_start:.1f}s")
         if rate > best_rate:
             best_rate, best_stages = rate, stage_summary
         h2d = stage_summary.get("h2d", {}).get("mean_ms", 0.0)
         if h2d <= 1.5 * H2D_FLOOR_MS:
+            break
+        if time.time() > deadline - 120:
+            _note(f"full-path: h2d {h2d:.1f} ms degraded but no budget "
+                  "for a retry — labeling the sample")
             break
         _note(f"full-path: h2d {h2d:.1f} ms > 1.5x floor "
               f"({H2D_FLOOR_MS} ms) — tunnel degraded, retrying once")
@@ -569,6 +629,8 @@ def _stream_child(proc, deadline: float, on_line) -> bool:
 
 
 def main() -> None:
+    import tempfile
+
     t0 = time.time()
     try:
         budget = float(os.environ.get("BENCH_BUDGET_S", DEFAULT_BUDGET_S))
@@ -576,6 +638,12 @@ def main() -> None:
         budget = DEFAULT_BUDGET_S
     hard_deadline = t0 + budget
     state: dict = {}
+    # per-run host-params cache shared by the phase children (the
+    # single-core init costs ~60-70 s; paying it once instead of once per
+    # phase is what lets the whole chain fit the default budget)
+    os.environ.setdefault(
+        "BENCH_PARAMS_CACHE_DIR", tempfile.mkdtemp(prefix="bench_params_")
+    )
 
     def absorb(d: dict) -> None:
         # scored lines only ever improve the kept value; extra-key lines
@@ -593,7 +661,11 @@ def main() -> None:
     # large budget flows to phase A's cold mega-kernel compile, not to
     # phases that would be equally cold.
     if budget >= 420:
-        a_deadline = hard_deadline - min(180.0, 0.25 * budget)
+        # Reserve for B+C+D sized from the round-5 rehearsal: with the
+        # params cache and a warm store, B ≈ 60-80 s, C ≈ 40 s, D ≈ 100 s.
+        # Phase A needs ~150 s worst-case-cold for its guaranteed rung-1
+        # line (params ~70 s + two ~13 s compiles + measurements).
+        a_deadline = hard_deadline - min(260.0, 0.5 * budget)
     else:
         a_deadline = hard_deadline
     proc = _spawn("--model-only", a_deadline)

@@ -77,21 +77,6 @@ def _store_dir(store_dir: str | None) -> str:
     return store_dir or os.environ.get("MANGA_OCR_TPU_AOT_DIR", DEFAULT_DIR)
 
 
-def _dummy_args(args):
-    """Zero-filled stand-ins with the same shapes/dtypes as ``args`` —
-    the validation call must not touch the caller's live batch (and must
-    not depend on its values)."""
-    import jax
-    import jax.numpy as jnp
-
-    def dummy(x):
-        if hasattr(x, "shape") and hasattr(x, "dtype"):
-            return jnp.zeros(x.shape, x.dtype)
-        return x
-
-    return jax.tree_util.tree_map(dummy, args)
-
-
 def _evict(store: str, name: str, keep: int = KEEP_PER_NAME) -> None:
     """Drop all but the ``keep`` most-recent blobs for ``name`` (by mtime).
     Best-effort: eviction must never break the caller."""
@@ -184,6 +169,7 @@ def load_or_compile(fn, args, name: str, store_dir: str | None = None, note=None
 
     Failures at every stage degrade to a normal compile — the store is a
     pure accelerator, never a correctness dependency."""
+    import jax
     from jax.experimental.serialize_executable import (
         deserialize_and_load,
         serialize,
@@ -202,10 +188,24 @@ def load_or_compile(fn, args, name: str, store_dir: str | None = None, note=None
             # current device set, which can mismatch the compile-time one
             # (e.g. a multi-device virtual mesh) in ways only execution
             # reveals — a store hit must never crash the caller later.
-            # Runs on zero-filled dummies, never the caller's live batch;
-            # cost is one model execution (~ms at serving shapes) against
-            # the multi-minute compile a hit avoids.
-            compiled(*_dummy_args(args))
+            # Deliberately runs on the caller's args: they are already
+            # device-resident, the result is discarded, and the cost is
+            # one execution (~ms at serving shapes) against the
+            # multi-minute compile a hit avoids.  Zero-filled dummy args
+            # were tried and MEASURED catastrophic on this runtime: the
+            # per-leaf jnp.zeros programs (~150 distinct param shapes)
+            # each round-trip the remote compile service in a fresh
+            # process — ~500 s before the first real dispatch
+            # (docs/PERF.md round 5).  The readback of one output leaf is
+            # what makes this a validation at all: dispatch is async, so
+            # without it a blob whose execution errors (or never
+            # completes) would "pass" and fail in the caller instead.
+            out = compiled(*args)
+            leaves = [
+                x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "shape")
+            ]
+            if leaves:
+                np.asarray(leaves[0])
             os.utime(cand)  # refresh mtime: LRU eviction keys on it
             say(f"aot: loaded {name} ({fp}) from store"
                 + ("" if cand == path else f" (via {os.path.basename(cand)})"))
