@@ -300,7 +300,10 @@ def run_model_only() -> None:
     prev_cold = False
     for b in BATCH_SIZES:
         remaining = deadline - time.time()
-        if remaining < 60:
+        # a banked rung-2 program costs ~10-15 s to load+measure; only a
+        # truly exhausted budget skips it (round-5 rehearsal: a 60 s floor
+        # threw away the 4123-vs-4032 upgrade with 48 s left)
+        if remaining < 35:
             _note(f"model-only: skipping rung-2 B={b} (budget)")
             break
         if prev_cold:
@@ -653,23 +656,26 @@ def main() -> None:
         if "value" in state:
             _emit(state)
 
-    # Phase A: model-only (the scored number) — most of the budget.  The
-    # later phases get a reserve only when the budget can afford one: with
-    # a short budget phase A takes everything (abandoning it early to
-    # "save time" for phases that need the chip phase A still holds would
-    # guarantee the value=0 failure line).  The reserve is capped so a
-    # large budget flows to phase A's cold mega-kernel compile, not to
-    # phases that would be equally cold.
+    # Sequential phases, one child process each (the chip is
+    # single-tenant).  Two lessons are baked in (round-5 rehearsals):
+    # - Abandoning a busy child early gains NOTHING: it still holds the
+    #   chip, and its late result is then lost to the closed pipe.  The
+    #   parent therefore streams every child until it exits or the HARD
+    #   deadline passes — a phase that runs long simply eats the later
+    #   phases' windows.
+    # - Each fresh process can pay a multi-minute first-execution tax
+    #   when the tunnel is in a bad mood, so each next phase is gated on
+    #   the time it minimally needs with a warm store.
+    #
+    # Phase A's child gets an INTERNAL deadline leaving room for B+C+D
+    # (its rung ladder self-budgets against it); the parent still
+    # listens to it until the hard deadline.
     if budget >= 420:
-        # Reserve for B+C+D sized from the round-5 rehearsal: with the
-        # params cache and a warm store, B ≈ 60-80 s, C ≈ 40 s, D ≈ 100 s.
-        # Phase A needs ~150 s worst-case-cold for its guaranteed rung-1
-        # line (params ~70 s + two ~13 s compiles + measurements).
-        a_deadline = hard_deadline - min(260.0, 0.5 * budget)
+        a_internal = hard_deadline - min(260.0, 0.5 * budget)
     else:
-        a_deadline = hard_deadline
-    proc = _spawn("--model-only", a_deadline)
-    a_done = _stream_child(proc, a_deadline, absorb)
+        a_internal = hard_deadline
+    proc = _spawn("--model-only", a_internal)
+    a_done = _stream_child(proc, hard_deadline - 10, absorb)
 
     if "value" not in state:
         # Nothing measured (wedged runtime / import failure): report the
@@ -677,39 +683,38 @@ def main() -> None:
         state.update(_fail_line())
         _emit(state)
 
-    # Phase B: full path — needs the chip, so only if phase A's child is
-    # actually gone; report the field as 0.0 otherwise (honest: not
-    # measured this run).
-    if a_done and time.time() < hard_deadline - 60:
-        proc = _spawn("--full-path", hard_deadline - 20)
-        b_done = _stream_child(proc, hard_deadline - 20, absorb)
-    else:
-        b_done = False
-        _note("bench parent: skipping full-path phase (budget)")
+    def run_phase(flag: str, min_needed: float, prior_ok: bool) -> bool:
+        if not prior_ok:
+            _note(f"bench parent: skipping {flag} phase (prior phase "
+                  "still holds the chip)")
+            return False
+        remaining = hard_deadline - time.time()
+        if remaining < min_needed:
+            _note(f"bench parent: skipping {flag} phase "
+                  f"({remaining:.0f}s left, needs ~{min_needed:.0f}s)")
+            return False
+        p = _spawn(flag, hard_deadline - 15)
+        return _stream_child(p, hard_deadline - 10, absorb)
+
+    # Phase B: full path.  Phase C: reference decode budget (300) under
+    # realistic lengths.  Phase D (optional): genuine-EOS with the
+    # trained checkpoint when scripts/closed_loop_fullsize.py produced
+    # one.  Minimum windows are warm-store timings + headroom.
+    b_done = run_phase("--full-path", 120.0, a_done)
     if "full_path_crops_per_s" not in state:
         state["full_path_crops_per_s"] = 0.0
     if "stage_summary" in state:  # compact: headline keeps means only
         state["full_path_stage_ms"] = {
             k: v["mean_ms"] for k, v in state.pop("stage_summary").items()
         }
+        if "value" in state:
+            _emit(state)
 
-    # Phase C: reference decode budget (300) under realistic lengths.
-    c_done = False
-    if a_done and b_done and time.time() < hard_deadline - 45:
-        proc = _spawn("--budget300", hard_deadline - 10)
-        c_done = _stream_child(proc, hard_deadline - 10, absorb)
-    else:
-        _note("bench parent: skipping budget-300 phase (budget)")
+    c_done = run_phase("--budget300", 60.0, b_done)
 
-    # Phase D (optional): genuine-EOS throughput with the trained
-    # checkpoint, when scripts/closed_loop_fullsize.py has produced one.
     ckpt_dir = os.environ.get(TRAINED_CKPT_ENV, TRAINED_CKPT_DEFAULT)
     if os.path.isdir(ckpt_dir):
-        if a_done and b_done and c_done and time.time() < hard_deadline - 45:
-            proc = _spawn("--trained-eos", hard_deadline - 5)
-            _stream_child(proc, hard_deadline - 5, absorb)
-        else:
-            _note("bench parent: skipping trained-eos phase (budget)")
+        run_phase("--trained-eos", 110.0, c_done)
 
     state["bench_wall_s"] = round(time.time() - t0, 1)
     _emit(state)
