@@ -55,13 +55,17 @@ import time
 MAX_NEW_TOKENS = 32
 BATCH_SIZES = (256, 384)
 NORTH_STAR = 5000.0
-# Default wall budget ~8 min (the driver verifies under `timeout 600`):
-# the scored line lands by ~3 min even fully cold.  Set BENCH_BUDGET_S
-# higher (e.g. 1800) to let a cold decode-mega-kernel compile (~19 min,
-# scripts/perf_compile_times.py) finish for the best config — safe under
-# any shorter external timeout, since every improvement is printed+flushed
-# the moment it exists and a kill merely truncates at the best line so far.
-DEFAULT_BUDGET_S = 480.0
+# Default wall budget (the driver verifies under `timeout 600`; ~15 s of
+# python startup precedes the clock): the scored line lands by ~3 min
+# even fully cold, and the extra runway over the old 480 covers the
+# tunnel's first-execution tax (round-5 finding: a fresh process's first
+# dispatch+readback can stall minutes after client churn).  Set
+# BENCH_BUDGET_S higher (e.g. 1800) to let a cold decode-mega-kernel
+# compile (~19 min, scripts/perf_compile_times.py) finish for the best
+# config — safe under any shorter external timeout, since every
+# improvement is printed+flushed the moment it exists and a kill merely
+# truncates at the best line so far.
+DEFAULT_BUDGET_S = 560.0
 # Committed realistic bubble-length distribution (token counts incl.
 # BOS/EOS; median e^2.5 ~ 12 — typical manga bubbles run 5-30 chars).
 LOGNORMAL_MU, LOGNORMAL_SIGMA = 2.5, 0.55
@@ -688,6 +692,9 @@ def main() -> None:
             _note(f"bench parent: skipping {flag} phase (prior phase "
                   "still holds the chip)")
             return False
+        # warm-store minimum, scaled down for small explicit budgets so a
+        # short BENCH_BUDGET_S still attempts every phase
+        min_needed = min(min_needed, 0.25 * budget)
         remaining = hard_deadline - time.time()
         if remaining < min_needed:
             _note(f"bench parent: skipping {flag} phase "

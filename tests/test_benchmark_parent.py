@@ -84,6 +84,9 @@ def test_main_merges_phases_and_prints_final_line(monkeypatch, capsys):
 
     monkeypatch.setattr(bm, "_spawn", fake_spawn)
     monkeypatch.setenv("BENCH_BUDGET_S", "120")
+    # phase D must not fire here even on a machine where the trained
+    # checkpoint exists (it is covered by its own test below)
+    monkeypatch.setenv(bm.TRAINED_CKPT_ENV, "/nonexistent/trained_ckpt")
     bm.main()
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) >= 2  # progressive lines plus the final merge
@@ -99,6 +102,34 @@ def test_main_merges_phases_and_prints_final_line(monkeypatch, capsys):
     # every line parsed — a driver reading ANY of them gets a valid score
     for line in lines:
         assert "value" in json.loads(line)
+
+
+def test_main_runs_phase_d_when_trained_ckpt_exists(monkeypatch, capsys, tmp_path):
+    """With a trained-checkpoint dir present, the parent appends the
+    genuine-EOS phase and its keys land in the final merged line."""
+
+    def fake_spawn(flag, deadline):
+        payloads = {
+            "--model-only": {"metric": "m", "value": 10.0, "unit": "c/s",
+                             "vs_baseline": 0.002, "config": "fast"},
+            "--full-path": {"full_path_crops_per_s": 5.0},
+            "--budget300": {"crops_per_s_budget300_realistic": 7.5},
+            "--trained-eos": {"trained_eos_crops_per_s": 9.0,
+                              "trained_fixed32_crops_per_s": 11.0},
+        }
+        return _fake_child(
+            f"import json\nprint(json.dumps({payloads[flag]!r}), flush=True)\n"
+        )
+
+    monkeypatch.setattr(bm, "_spawn", fake_spawn)
+    monkeypatch.setenv("BENCH_BUDGET_S", "120")
+    monkeypatch.setenv(bm.TRAINED_CKPT_ENV, str(tmp_path))
+    bm.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    final = json.loads(lines[-1])
+    assert final["value"] == 10.0
+    assert final["trained_eos_crops_per_s"] == 9.0
+    assert final["trained_fixed32_crops_per_s"] == 11.0
 
 
 def test_main_emits_failure_line_when_nothing_measured(monkeypatch, capsys):
